@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: MIRROR pretrain train-step throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The metric is full-train-step samples/sec/chip at the reference's production
+scale (wsi 2048x768 tokens, rna 10234-d, embed 768, bf16 compute): forward,
+5-term MIRROR loss, backward, adam update, prototype renorm, logit-scale
+clamp — everything a real pretrain step does except host data loading.
+
+vs_baseline: the reference publishes no numbers and cannot run here (its
+nystrom_attention pip dep is not installed, and it has no TPU path), so the
+baseline is this framework's round-1 measurement on one v5e chip
+(B=32: 87.6 samples/s, recorded in BASELINE.md). Ratios > 1.0 are
+improvements over round 1.
+
+Timing note: on the axon tunnel, block_until_ready over a chain of async
+dispatches can return early — every timed step synchronizes by pulling the
+loss to the host.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+ROUND1_BASELINE_SAMPLES_PER_SEC = 77.6  # B=32 median, v5e-1, 2026-08-16 (round 1)
+
+
+def main():
+    from mirror_tpu.losses import MirrorLossWeights
+    from mirror_tpu.registry import create_model
+    from mirror_tpu.train.optim import make_optimizer, make_schedule
+    from mirror_tpu.train.state import create_train_state
+    from mirror_tpu.train.steps import make_mirror_train_step
+
+    batch = 32
+    tokens = 2048
+    model = create_model(
+        "mirror",
+        wsi_embed_dim=768, rna_embed_dim=10234, embed_dim=768,
+        wsi_num_tokens=tokens, rna_mlp_ratio=4.0, rna_norm_eps=1e-5,
+        dtype="bfloat16",
+    )
+
+    class _Args:
+        opt = "adam"
+        opt_eps = None
+        opt_betas = None
+        momentum = 0.9
+        weight_decay = 0.0
+        clip_grad = None
+        clip_mode = "norm"
+        opt_kwargs = {}
+        use_sched = False
+        grad_accum_steps = 1
+
+    schedule = make_schedule(_Args, 10, 2e-5)
+    tx = make_optimizer(_Args, schedule)
+    step = jax.jit(
+        make_mirror_train_step(
+            model, tx, MirrorLossWeights(0.5, 0.15, 0.15, 0.1, 0.1)
+        ),
+        donate_argnums=0,
+    )
+
+    key = jax.random.PRNGKey(0)
+    wsi = jax.random.normal(key, (batch, tokens, 768), jnp.float32)
+    rna = jax.random.normal(key, (batch, 10234), jnp.float32)
+    rngs = dict(
+        zip(["params", "dropout", "masking", "style"], jax.random.split(key, 4))
+    )
+    params = jax.jit(lambda r, w, x: model.init(r, w, x, 0.75, 0.75, True))(
+        rngs, wsi[:2], rna[:2]
+    )["params"]
+    state = create_train_state(params, tx, model_ema=False)
+    batch_dict = {"wsi": wsi, "rna": rna}
+
+    # compile + settle (the first donated-buffer dispatch can recompile)
+    for i in range(3):
+        state, m = step(state, batch_dict, jax.random.PRNGKey(i))
+        float(m["loss"])
+
+    times = []
+    for i in range(10):
+        t0 = time.time()
+        state, m = step(state, batch_dict, jax.random.PRNGKey(100 + i))
+        float(m["loss"])  # host sync
+        times.append(time.time() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+    samples_per_sec = batch / median
+
+    print(
+        json.dumps(
+            {
+                "metric": "mirror_pretrain_train_step_throughput",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(
+                    samples_per_sec / ROUND1_BASELINE_SAMPLES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Two-stage YAML + CLI configuration.
+
+Replicates the reference's config semantics (/root/reference/train_mirror.py:76-88,625-639):
+1. a mini-parser consumes ``--config <yaml>``;
+2. the YAML keys become argparse defaults;
+3. the full parser parses the remaining argv so CLI flags override YAML.
+
+Dest names match the reference YAML templates key-for-key
+(configs/{pretrain,subtyping,survival}/mirror.template.yaml) so existing
+configs drop in unchanged. GPU-only knobs (amp_impl, fuser, sync_bn, ...)
+are accepted and ignored with a warning, keeping the CLI surface stable.
+
+``ParseKwargs`` supports ``--model-kwargs key=value key2=value2`` dict flags
+like the reference (train_mirror.py:203,319,511).
+"""
+
+import argparse
+import ast
+import logging
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+_logger = logging.getLogger(__name__)
+
+
+class ParseKwargs(argparse.Action):
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = dict(getattr(namespace, self.dest) or {})
+        for value in values:
+            key, _, v = value.partition("=")
+            try:
+                kw[key] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                kw[key] = str(v)
+        setattr(namespace, self.dest, kw)
+
+
+def _add_common(parser: argparse.ArgumentParser) -> None:
+    g = parser.add_argument_group("Dataset")
+    g.add_argument("--wsi-feature-dir", type=str, default=None)
+    g.add_argument("--rna-feature-csv", type=str, default=None)
+    g.add_argument("--split-dir", type=str, default=None)
+    g.add_argument("--num-wsi-feature-tokens", type=int, default=2048)
+    g.add_argument("--k", type=int, default=5)
+    g.add_argument("--fold-nb", type=int, default=0)
+    g.add_argument("--cache", action="store_true", default=False)
+    g.add_argument("--val", action="store_true", default=True)
+    g.add_argument("--no-val", action="store_false", dest="val")
+
+    g = parser.add_argument_group("Model")
+    g.add_argument("--model", type=str, default="mirror")
+    g.add_argument("--initial-checkpoint", type=str, default="")
+    g.add_argument("--resume", type=str, default="")
+    g.add_argument("--no-resume-opt", action="store_true", default=False)
+    g.add_argument("--batch-size", type=int, default=16)
+    g.add_argument("--validation-batch-size", type=int, default=None)
+    g.add_argument("--grad-accum-steps", type=int, default=1)
+    g.add_argument("--grad-checkpointing", action="store_true", default=False)
+    g.add_argument("--model-kwargs", nargs="*", default={}, action=ParseKwargs)
+    g.add_argument("--use-pallas", action="store_true", default=False,
+                   help="fused Pallas TPU kernel for Nystrom attention")
+
+    g = parser.add_argument_group("Device")
+    g.add_argument("--device", type=str, default="tpu")
+    g.add_argument("--amp", action="store_true", default=True)
+    g.add_argument("--no-amp", action="store_false", dest="amp")
+    g.add_argument("--amp-dtype", type=str, default="bfloat16")
+    g.add_argument("--global-negatives", action="store_true", default=False,
+                   help="all-gather contrastive embeddings across chips (TPU extension; "
+                        "reference uses local negatives only)")
+
+    g = parser.add_argument_group("Optimizer")
+    g.add_argument("--opt", type=str, default="adam")
+    g.add_argument("--opt-eps", type=float, default=None)
+    g.add_argument("--opt-betas", type=float, nargs="+", default=None)
+    g.add_argument("--momentum", type=float, default=0.9)
+    g.add_argument("--weight-decay", type=float, default=0.0)
+    g.add_argument("--clip-grad", type=float, default=None)
+    g.add_argument("--clip-mode", type=str, default="norm")
+    g.add_argument("--layer-decay", type=float, default=None)
+    g.add_argument("--opt-kwargs", nargs="*", default={}, action=ParseKwargs)
+
+    g = parser.add_argument_group("Schedule")
+    g.add_argument("--use-sched", action="store_true", default=False)
+    g.add_argument("--sched", type=str, default="cosine")
+    g.add_argument("--sched-on-updates", action="store_true", default=False)
+    g.add_argument("--lr", type=float, default=None)
+    g.add_argument("--lr-base", type=float, default=0.1)
+    g.add_argument("--lr-base-size", type=int, default=256)
+    g.add_argument("--lr-base-scale", type=str, default="")
+    g.add_argument("--min-lr", type=float, default=0.0)
+    g.add_argument("--warmup-lr", type=float, default=1e-5)
+    g.add_argument("--epochs", type=int, default=100)
+    g.add_argument("--start-epoch", type=int, default=None)
+    g.add_argument("--decay-milestones", type=int, nargs="+", default=(90, 180, 270))
+    g.add_argument("--decay-epochs", type=float, default=90)
+    g.add_argument("--warmup-epochs", type=int, default=5)
+    g.add_argument("--warmup-prefix", action="store_true", default=False)
+    g.add_argument("--cooldown-epochs", type=int, default=0)
+    g.add_argument("--patience-epochs", type=int, default=10)
+    g.add_argument("--decay-rate", type=float, default=0.1)
+
+    g = parser.add_argument_group("EMA")
+    g.add_argument("--model-ema", action="store_true", default=False)
+    g.add_argument("--model-ema-decay", type=float, default=0.9998)
+    g.add_argument("--model-ema-warmup", action="store_true", default=False)
+
+    g = parser.add_argument_group("Misc")
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--log-interval", type=int, default=1)
+    g.add_argument("--recovery-interval", type=int, default=0)
+    g.add_argument("--checkpoint-hist", type=int, default=5)
+    g.add_argument("--workers", type=int, default=4)
+    g.add_argument("--output", type=str, default="")
+    g.add_argument("--experiment", type=str, default="")
+    g.add_argument("--log-wandb", action="store_true", default=False)
+    g.add_argument("--wandb-project", type=str, default="MIRROR")
+    g.add_argument("--synchronize-step", action="store_true", default=False)
+
+
+_TASK_SPECIFIC = {
+    "pretrain": None,
+    "subtyping": None,
+    "survival": None,
+}
+
+
+def build_parser(task: str) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=f"MIRROR-TPU {task}")
+    _add_common(parser)
+    if task == "pretrain":
+        parser.add_argument("--wsi-mask-ratio", type=float, default=0.75)
+        parser.add_argument("--rna-mask-ratio", type=float, default=0.75)
+        parser.add_argument("--loss", type=str, default="mirror_loss")
+        parser.add_argument("--loss-kwargs", nargs="*", default={}, action=ParseKwargs)
+        parser.add_argument("--temperature", type=float, default=0.1,
+                            help="InfoNCE temperature (train_pretrain path)")
+        parser.add_argument("--eval-metric", type=str, default="loss")
+    elif task == "subtyping":
+        parser.add_argument("--classes", type=str, nargs="+", default=None)
+        parser.add_argument("--num-classes", type=int, default=None)
+        parser.add_argument("--wsi-feature-only", action="store_true", default=False)
+        parser.add_argument("--loss", type=str, default="ce_loss")
+        parser.add_argument("--smoothing", type=float, default=0.1)
+        parser.add_argument("--init-head", action="store_true", default=False)
+        parser.add_argument("--head-init-scale", type=float, default=None)
+        parser.add_argument("--head-init-bias", type=float, default=None)
+        parser.add_argument("--linear-probe", action="store_true", default=False)
+        parser.add_argument("--drop-last", action="store_true", default=True)
+        parser.add_argument("--no-drop-last", action="store_false", dest="drop_last")
+        parser.add_argument("--weighted-sampler", action="store_true", default=False)
+        parser.add_argument("--eval-metric", type=str, default="acc")
+        parser.add_argument("--eval-metric-average", type=str, default="macro")
+    elif task == "survival":
+        parser.add_argument("--survival-csv", type=str, default=None)
+        parser.add_argument("--num-bins", type=int, default=4)
+        parser.add_argument("--num-classes", type=int, default=4)
+        parser.add_argument("--wsi-feature-only", action="store_true", default=False)
+        parser.add_argument("--loss", type=str, default="nll_surv")
+        parser.add_argument("--loss-alpha", type=float, default=0.0)
+        parser.add_argument("--init-head", action="store_true", default=False)
+        parser.add_argument("--head-init-scale", type=float, default=None)
+        parser.add_argument("--head-init-bias", type=float, default=None)
+        parser.add_argument("--linear-probe", action="store_true", default=False)
+        parser.add_argument("--drop-last", action="store_true", default=True)
+        parser.add_argument("--no-drop-last", action="store_false", dest="drop_last")
+        parser.add_argument("--weighted-sampler", action="store_true", default=False)
+        parser.add_argument("--eval-metric", type=str, default="c-index")
+    else:
+        raise ValueError(f"unknown task {task}")
+    return parser
+
+
+# Reference-surface keys that have no TPU meaning; accepted + dropped.
+_IGNORED_KEYS = {
+    "fuser", "torchscript", "torchcompile", "fast_norm", "amp_impl", "no_ddp_bb",
+    "local_rank", "device_modules", "sync_bn", "dist_bn", "pin_mem",
+    "model_ema_force_cpu", "worker_seeding", "epoch_repeats", "in_chans",
+    "lr_noise", "lr_noise_pct", "lr_noise_std", "lr_cycle_mul",
+    "lr_cycle_decay", "lr_cycle_limit", "lr_k_decay",
+}
+
+
+def parse_args(
+    task: str, argv: Optional[Sequence[str]] = None
+) -> Tuple[argparse.Namespace, str]:
+    """Returns (args, resolved-yaml-text). CLI overrides YAML overrides defaults."""
+    config_parser = argparse.ArgumentParser(add_help=False)
+    config_parser.add_argument("-c", "--config", type=str, default="")
+    cfg_args, remaining = config_parser.parse_known_args(argv)
+
+    parser = build_parser(task)
+    if cfg_args.config:
+        with open(cfg_args.config) as f:
+            cfg: Dict[str, Any] = yaml.safe_load(f) or {}
+        known_dests = {a.dest for a in parser._actions}
+        defaults = {}
+        for key, value in cfg.items():
+            if key in _IGNORED_KEYS:
+                continue
+            if key not in known_dests:
+                _logger.warning("Ignoring unknown config key: %s", key)
+                continue
+            defaults[key] = value
+        parser.set_defaults(**defaults)
+
+    args = parser.parse_args(remaining)
+    args.config = cfg_args.config
+    args_text = yaml.safe_dump(vars(args), default_flow_style=False)
+    return args, args_text
+
+
+def resolve_lr(args: argparse.Namespace, global_batch_size: int) -> float:
+    """LR auto-scaling (ref train_mirror.py:725-740): lr = lr_base *
+    global_batch/base_size, linear or sqrt (sqrt for adam-family)."""
+    if args.lr is not None:
+        return args.lr
+    scale = args.lr_base_scale
+    if not scale:
+        on = args.opt.lower()
+        scale = "sqrt" if any(o in on for o in ("ada", "lamb")) else "linear"
+    batch_ratio = global_batch_size * max(args.grad_accum_steps, 1) / args.lr_base_size
+    if scale == "sqrt":
+        batch_ratio = batch_ratio**0.5
+    lr = args.lr_base * batch_ratio
+    _logger.info(
+        "Learning rate (%f) calculated from base lr (%f) and effective global "
+        "batch size (%d) with %s scaling.",
+        lr, args.lr_base, global_batch_size * max(args.grad_accum_steps, 1), scale,
+    )
+    return lr

@@ -1,0 +1,409 @@
+"""TCGA WSI+RNA datasets (host-side, numpy).
+
+Same semantics as the reference's three torch datasets:
+- ``PretrainDataset``  == datasets/dataset_pretrain.py:21-167
+- ``SubtypingDataset`` == datasets/dataset_subtyping.py:21-200
+- ``SurvivalDataset``  == datasets/dataset_survival.py:21-314
+
+Shared protocol (/root/repo/SURVEY.md section 2.3): intersect 15-char sample
+IDs between the WSI feature dir and the RNA CSV (dropping duplicate RNA
+rows, keep="first"); fold membership matches the 12-char patient ID against
+the split CSV's train/val columns; ``__getitem__`` samples exactly
+``num_wsi_feature_tokens`` patch rows, with replacement iff the slide has
+fewer — the shape-staticizing trick that gives XLA a single compiled graph.
+
+The survival dataset reproduces the reference's discretization exactly:
+pd.qcut over uncensored event times into num_bins, outer bin edges widened
+by +-eps to cover all patients, then pd.cut(right=False, include_lowest=True)
+over everyone; censorship = int(status[0]) so "1:DECEASED" -> 1 == event.
+"""
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .formats import find_feature_file, list_feature_files, load_feature_file
+
+_logger = logging.getLogger(__name__)
+
+
+def _read_split(splits_dir: str, fold_nb: int):
+    fold_csv = pd.read_csv(
+        os.path.join(splits_dir, f"splits_{fold_nb}.csv"), header=0, index_col=0
+    )
+    train_patients = fold_csv["train"].dropna().tolist()
+    val_patients = fold_csv["val"].dropna().tolist()
+    return train_patients, val_patients
+
+
+class _BaseDataset:
+    """Common id-intersection / fold / sampling machinery."""
+
+    def __init__(self, num_wsi_feature_tokens: int, cache: bool) -> None:
+        self.num_wsi_feature_tokens = num_wsi_feature_tokens
+        self.cache = cache
+        self.fold_nb = 0
+        self.train_feature_ids: List[str] = []
+        self.val_feature_ids: List[str] = []
+        self.used_feature_ids: List[str] = []
+        self._cache_store: Dict[str, np.ndarray] = {}
+        self._mode = "train"
+
+    # -- fold / mode -------------------------------------------------------
+    def update_fold_nb(self, fold_nb: int):
+        self.fold_nb = fold_nb
+        train_patients, val_patients = _read_split(self.splits, fold_nb)
+        self.train_feature_ids = [
+            f.split(".")[0]
+            for f in self.wsi_feature_files
+            if f.split(".")[0][:12] in train_patients
+        ]
+        self.val_feature_ids = [
+            f.split(".")[0]
+            for f in self.wsi_feature_files
+            if f.split(".")[0][:12] in val_patients
+        ]
+        return self
+
+    def train(self):
+        self._mode = "train"
+        if self.splits is not None:
+            self.used_feature_ids = self.train_feature_ids
+        if self.cache:
+            self._cache_data()
+        return self
+
+    def val(self):
+        self._mode = "val"
+        if self.splits is not None:
+            self.used_feature_ids = self.val_feature_ids
+        if self.cache:
+            self._cache_data()
+        return self
+
+    def _feature_path(self, slide: str) -> str:
+        raise NotImplementedError
+
+    def _cache_data(self) -> None:
+        for slide in self.used_feature_ids:
+            if slide not in self._cache_store:
+                self._cache_store[slide] = np.asarray(
+                    load_feature_file(self._feature_path(slide))
+                )
+
+    def _load_wsi(self, slide: str, rng: Optional[np.random.Generator]) -> np.ndarray:
+        if self.cache and slide in self._cache_store:
+            feats = self._cache_store[slide]
+        else:
+            feats = load_feature_file(self._feature_path(slide))
+        n = feats.shape[0]
+        t = self.num_wsi_feature_tokens
+        gen = rng if rng is not None else np.random
+        replace = not n >= t
+        idx = gen.choice(n, t, replace=replace)
+        return np.asarray(feats[idx], dtype=np.float32)
+
+    def __len__(self) -> int:
+        return len(self.used_feature_ids)
+
+
+class PretrainDataset(_BaseDataset):
+    def __init__(
+        self,
+        wsi_feature_dir: str,
+        rna_feature_csv: str,
+        num_wsi_feature_tokens: int,
+        splits: Optional[str] = None,
+        k: int = 5,
+        cache: bool = False,
+    ) -> None:
+        super().__init__(num_wsi_feature_tokens, cache)
+        self.wsi_feature_dir = wsi_feature_dir
+        self.splits = splits
+        self.k = k
+
+        self.wsi_feature_files = list_feature_files(wsi_feature_dir)
+        self.rna_feature_df = pd.read_csv(
+            rna_feature_csv, header=0, index_col=0, sep=","
+        ).fillna(0)
+        self._filter_data()
+        if splits is not None:
+            self.update_fold_nb(0)
+        else:
+            self.used_feature_ids = [f.split(".")[0] for f in self.wsi_feature_files]
+        self.train()
+
+    def _filter_data(self) -> None:
+        self.rna_feature_df = self.rna_feature_df.loc[
+            ~self.rna_feature_df.index.duplicated(keep="first")
+        ]
+        wsi_ids = {f.split(".")[0][:15] for f in self.wsi_feature_files}
+        rna_ids = set(self.rna_feature_df.index.tolist())
+        common = wsi_ids & rna_ids
+        dropped = len(self.wsi_feature_files)
+        self.wsi_feature_files = [
+            f for f in self.wsi_feature_files if f.split(".")[0][:15] in common
+        ]
+        dropped -= len(self.wsi_feature_files)
+        if dropped:
+            _logger.warning("WSI features for %d slides are missing RNA", dropped)
+        self.rna_feature_df = self.rna_feature_df.loc[list(common)]
+
+    def _feature_path(self, slide: str) -> str:
+        return find_feature_file(self.wsi_feature_dir, slide)
+
+    @property
+    def rna_dim(self) -> int:
+        return self.rna_feature_df.shape[1]
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        slide = self.used_feature_ids[idx]
+        wsi = self._load_wsi(slide, rng)
+        rna = self.rna_feature_df.loc[slide[:15]].to_numpy(dtype=np.float32)
+        return {"wsi": wsi, "rna": rna}
+
+
+class SubtypingDataset(_BaseDataset):
+    def __init__(
+        self,
+        wsi_feature_dir: str,
+        rna_feature_csv: str,
+        classes: Sequence[str],
+        num_wsi_feature_tokens: int,
+        splits: Optional[str] = None,
+        k: int = 5,
+        wsi_feature_only: bool = False,
+        cache: bool = False,
+    ) -> None:
+        super().__init__(num_wsi_feature_tokens, cache)
+        self.wsi_feature_dir = wsi_feature_dir
+        self.classes = list(classes)
+        self.splits = splits
+        self.k = k
+        self.wsi_feature_only = wsi_feature_only
+
+        self.class_label = {c: i for i, c in enumerate(self.classes)}
+        self.class_dict: Dict[str, int] = {}
+        for c in self.classes:
+            for f in list_feature_files(os.path.join(wsi_feature_dir, c)):
+                self.class_dict[f.split(".")[0]] = self.class_label[c]
+        self.wsi_feature_files = list(self.class_dict.keys())
+        self.rna_feature_df = pd.read_csv(
+            rna_feature_csv, header=0, index_col=0, sep=","
+        ).fillna(0)
+        self._filter_data()
+        if splits is not None:
+            self.update_fold_nb(0)
+        else:
+            self.used_feature_ids = [f.split(".")[0] for f in self.wsi_feature_files]
+        self.train()
+
+    def _filter_data(self) -> None:
+        self.rna_feature_df = self.rna_feature_df.loc[
+            ~self.rna_feature_df.index.duplicated(keep="first")
+        ]
+        wsi_ids = {f.split(".")[0][:15] for f in self.wsi_feature_files}
+        rna_ids = set(self.rna_feature_df.index.tolist())
+        common = wsi_ids & rna_ids
+        self.wsi_feature_files = [
+            f for f in self.wsi_feature_files if f.split(".")[0][:15] in common
+        ]
+        self.rna_feature_df = self.rna_feature_df.loc[list(common)]
+
+    def _feature_path(self, slide: str) -> str:
+        cls_name = self.classes[self.class_dict[slide]]
+        return find_feature_file(os.path.join(self.wsi_feature_dir, cls_name), slide)
+
+    @property
+    def rna_dim(self) -> int:
+        return self.rna_feature_df.shape[1]
+
+    def get_label(self, idx: int) -> int:
+        return self.class_dict[self.used_feature_ids[idx]]
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        slide = self.used_feature_ids[idx]
+        label = self.class_dict[slide]
+        out = {
+            "wsi": self._load_wsi(slide, rng),
+            "label": np.int32(label),
+        }
+        if not self.wsi_feature_only:
+            out["rna"] = self.rna_feature_df.loc[slide[:15]].to_numpy(dtype=np.float32)
+        return out
+
+
+class SurvivalDataset(_BaseDataset):
+    def __init__(
+        self,
+        wsi_feature_dir: str,
+        rna_feature_csv: str,
+        survival_csv: str,
+        num_wsi_feature_tokens: int,
+        splits: Optional[str] = None,
+        k: int = 5,
+        num_bins: int = 4,
+        case_id_column: str = "Patient ID",
+        slide_id_column: str = "Sample ID",
+        label_column: str = "Overall Survival (Months)",
+        censor_column: str = "Overall Survival Status",
+        wsi_feature_only: bool = False,
+        cache: bool = False,
+    ) -> None:
+        super().__init__(num_wsi_feature_tokens, cache)
+        self.wsi_feature_dir = wsi_feature_dir
+        self.splits = splits
+        self.k = k
+        self.num_bins = num_bins
+        self.case_id_column = case_id_column
+        self.slide_id_column = slide_id_column
+        self.label_column = label_column
+        self.censor_column = censor_column
+        self.wsi_feature_only = wsi_feature_only
+        self.eps = 1e-6
+
+        self.wsi_feature_files = list_feature_files(wsi_feature_dir)
+        self.rna_feature_df = pd.read_csv(
+            rna_feature_csv, header=0, index_col=0, sep=","
+        ).fillna(0)
+        self.survival_data = pd.read_csv(survival_csv, sep=",").fillna(0)
+        self._filter_data()
+        self.num_classes: Optional[int] = None
+        self._gen_disc_label()
+        self.slide_cls_ids = [
+            np.where(self.survival_data["label"] == i)[0]
+            for i in range(self.num_classes)
+        ]
+        if splits is not None:
+            self.update_fold_nb(0)
+        else:
+            self.used_feature_ids = [f.split(".")[0] for f in self.wsi_feature_files]
+        self.train()
+
+    def _filter_data(self) -> None:
+        self.rna_feature_df = self.rna_feature_df.loc[
+            ~self.rna_feature_df.index.duplicated(keep="first")
+        ]
+        self.survival_data = self.survival_data.loc[
+            ~self.survival_data[self.slide_id_column]
+            .apply(lambda x: x.split(".")[0])
+            .duplicated(keep="first")
+        ]
+        self.survival_data = self.survival_data.drop_duplicates(
+            subset=self.case_id_column, keep="first"
+        )
+        wsi_ids = {f.split(".")[0][:15] for f in self.wsi_feature_files}
+        surv_ids = {
+            s.split(".")[0]
+            for s in self.survival_data[self.slide_id_column].tolist()
+        }
+        common = wsi_ids & surv_ids
+        self.wsi_feature_files = [
+            f for f in self.wsi_feature_files if f.split(".")[0][:15] in common
+        ]
+        self.survival_data = self.survival_data[
+            self.survival_data[self.slide_id_column]
+            .apply(lambda x: x.split(".")[0])
+            .isin(common)
+        ]
+        wsi_ids = {f.split(".")[0][:15] for f in self.wsi_feature_files}
+        rna_ids = set(self.rna_feature_df.index.tolist())
+        surv_ids = {
+            s.split(".")[0][:15]
+            for s in self.survival_data[self.slide_id_column].tolist()
+        }
+        common = wsi_ids & rna_ids & surv_ids
+        self.wsi_feature_files = [
+            f for f in self.wsi_feature_files if f.split(".")[0][:15] in common
+        ]
+        self.rna_feature_df = self.rna_feature_df.loc[list(common)]
+        self.survival_data = self.survival_data[
+            self.survival_data[self.slide_id_column]
+            .apply(lambda x: x.split(".")[0][:15])
+            .isin(common)
+        ]
+
+    def _gen_disc_label(self) -> None:
+        patients_df = self.survival_data.copy()
+        event_df = self.survival_data[
+            self.survival_data[self.censor_column] == "1:DECEASED"
+        ]
+        if len(event_df) > 0:
+            _, q_bins = pd.qcut(
+                event_df[self.label_column], q=self.num_bins, retbins=True, labels=False
+            )
+            q_bins = np.asarray(q_bins, dtype=np.float64)
+            q_bins[-1] = self.survival_data[self.label_column].max() + self.eps
+            q_bins[0] = self.survival_data[self.label_column].min() - self.eps
+            disc_labels, q_bins = pd.cut(
+                patients_df[self.label_column],
+                bins=q_bins, retbins=True, labels=False,
+                right=False, include_lowest=True,
+            )
+        else:
+            disc_labels, q_bins = pd.cut(
+                patients_df[self.label_column],
+                bins=self.num_bins, retbins=True, labels=False,
+                right=False, include_lowest=True,
+            )
+        patients_df.insert(
+            len(patients_df.columns), "disc_label", disc_labels.values.astype(int)
+        )
+        label_dict = {}
+        key_count = 0
+        for i in range(len(q_bins) - 1):
+            for c in (0, 1):
+                label_dict[(i, c)] = key_count
+                key_count += 1
+        self.survival_data = self.survival_data.merge(
+            patients_df[[self.case_id_column, "disc_label"]],
+            on=self.case_id_column, how="left",
+        )
+        self.survival_data[self.censor_column] = self.survival_data[
+            self.censor_column
+        ].astype(str)
+        self.survival_data["censorship"] = (
+            self.survival_data[self.censor_column].str[0].astype(int)
+        )
+        self.survival_data["label"] = self.survival_data.apply(
+            lambda row: label_dict[(row["disc_label"], row["censorship"])], axis=1
+        )
+        self.num_classes = len(label_dict)
+
+    def _feature_path(self, slide: str) -> str:
+        return find_feature_file(self.wsi_feature_dir, slide)
+
+    @property
+    def rna_dim(self) -> int:
+        return self.rna_feature_df.shape[1]
+
+    def get_label(self, idx: int) -> int:
+        slide = self.used_feature_ids[idx]
+        row = self._surv_row(slide)
+        return int(row["label"].iloc[0])
+
+    def _surv_row(self, slide: str) -> pd.DataFrame:
+        rows = self.survival_data.loc[
+            self.survival_data[self.slide_id_column].apply(
+                lambda x: x.split(".")[0]
+            )
+            == slide[:15]
+        ]
+        assert len(rows) == 1, f"Multiple records exist for slide {slide}"
+        return rows
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        slide = self.used_feature_ids[idx]
+        row = self._surv_row(slide)
+        out = {
+            "wsi": self._load_wsi(slide, rng),
+            "label": np.int32(row["disc_label"].iloc[0]),
+            "event_time": np.float32(row[self.label_column].iloc[0]),
+            "censorship": np.int32(row["censorship"].iloc[0]),
+        }
+        if not self.wsi_feature_only:
+            out["rna"] = self.rna_feature_df.loc[slide[:15]].to_numpy(dtype=np.float32)
+        return out

@@ -1,0 +1,128 @@
+"""Host-side batch loader.
+
+Replaces torch DataLoader + DistributedSampler
+(/root/reference/train_mirror.py:847-886) with a numpy loader designed for
+SPMD input feeding:
+
+- per-epoch deterministic shuffling (``set_epoch`` semantics of
+  DistributedSampler);
+- optional class-balanced weighted sampling with replacement
+  (utils/loader.py:14-26 in the reference: weight proportional to
+  1/class_count, num_samples = len(dataset));
+- fixed-shape batches for XLA: train drops the trailing partial batch (all
+  samples still seen across epochs thanks to reshuffling); eval pads the
+  tail batch and marks padding in a ``valid`` mask so metrics stay exact;
+- a background prefetch thread overlaps feature-file IO with device compute.
+"""
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def class_balanced_weights(dataset) -> np.ndarray:
+    labels = np.asarray([dataset.get_label(i) for i in range(len(dataset))])
+    counts = np.bincount(labels)
+    weights = 1.0 / counts[labels]
+    return weights
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        pad_last: bool = False,
+        weighted: bool = False,
+        seed: int = 42,
+        prefetch: int = 2,
+    ) -> None:
+        assert not (drop_last and pad_last)
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.weighted = weighted
+        self.seed = seed
+        self.epoch = 0
+        self.prefetch = prefetch
+        self._weights = class_balanced_weights(dataset) if weighted else None
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self, rng: np.random.Generator) -> np.ndarray:
+        n = len(self.dataset)
+        if self.weighted:
+            p = self._weights / self._weights.sum()
+            return rng.choice(n, size=n, replace=True, p=p)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng.shuffle(idx)
+        return idx
+
+    def _make_batch(
+        self, indices: np.ndarray, rng: np.random.Generator
+    ) -> Dict[str, np.ndarray]:
+        items = [self.dataset.__getitem__(int(i), rng=rng) for i in indices]
+        batch = {
+            k: np.stack([it[k] for it in items]) for k in items[0]
+        }
+        valid = np.ones(len(items), dtype=np.float32)
+        if self.pad_last and len(items) < self.batch_size:
+            pad = self.batch_size - len(items)
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in batch.items()
+            }
+            valid = np.concatenate([valid, np.zeros(pad, dtype=np.float32)])
+        batch["valid"] = valid
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self.epoch * 1000003)
+        indices = self._indices(rng)
+        n = len(indices)
+        bs = self.batch_size
+        stops = n - (n % bs) if self.drop_last else n
+        chunks = [indices[i : i + bs] for i in range(0, stops, bs)]
+
+        if self.prefetch <= 0:
+            for c in chunks:
+                yield self._make_batch(c, rng)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error = []
+
+        def producer():
+            try:
+                for c in chunks:
+                    q.put(self._make_batch(c, rng))
+            except Exception as e:  # surface loader errors in the main thread
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]

@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers (SPMD data parallelism).
+
+The reference's only parallelism is torchrun DDP over NCCL
+(/root/reference/train_mirror.py:801-813, SURVEY.md section 2.7/2.8). The TPU
+equivalent is single-controller SPMD: one ``jax.sharding.Mesh`` with a
+``data`` axis; the batch is sharded over it and XLA derives gradient
+all-reduces over ICI from the sharding annotations. No process groups, no
+DistributedSampler — the host-side loader shards the sample index space.
+
+A ``model`` axis is reserved for optional tensor-parallel sharding of the
+10k-dim RNA embedding matmul (not needed for parity; mesh shape (N, 1) by
+default).
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    num_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch on the mesh, sharded along the leading axis."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -16,6 +16,7 @@ from typing import Any, Callable, Dict
 import jax.numpy as jnp
 
 from .models import MIRROR, MIRRORClassifier
+from .models.dual import MIRRORDual
 
 _logger = logging.getLogger(__name__)
 
@@ -77,6 +78,17 @@ def mirror(**kwargs: Any) -> MIRROR:
         "num_prototypes", "use_pallas", "dtype",
     }
     return MIRROR(**_filter(_resolve_common(kwargs), accepted))
+
+
+@register_model
+def mirror_dual(**kwargs: Any) -> MIRRORDual:
+    accepted = {
+        "wsi_embed_dim", "rna_embed_dim", "embed_dim", "projection_dim",
+        "rna_encoder_depth", "rna_gene_embed", "rna_mlp_ratio",
+        "rna_pos_drop_rate", "rna_proj_drop_rate", "rna_attn_drop_rate",
+        "rna_drop_path_rate", "rna_norm_eps", "use_pallas", "dtype",
+    }
+    return MIRRORDual(**_filter(_resolve_common(kwargs), accepted))
 
 
 @register_model

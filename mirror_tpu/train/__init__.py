@@ -1,0 +1,30 @@
+from .checkpoint import (
+    CheckpointSaver,
+    load_checkpoint_file,
+    load_pretrained,
+    merge_params,
+    resume_checkpoint,
+    save_checkpoint_file,
+)
+from .harness import TrainHarness, common_setup, update_summary
+from .optim import make_optimizer, make_schedule
+from .state import TrainState, create_train_state
+from . import metrics, steps
+
+__all__ = [
+    "CheckpointSaver",
+    "TrainHarness",
+    "TrainState",
+    "common_setup",
+    "create_train_state",
+    "load_checkpoint_file",
+    "load_pretrained",
+    "make_optimizer",
+    "make_schedule",
+    "merge_params",
+    "metrics",
+    "resume_checkpoint",
+    "save_checkpoint_file",
+    "steps",
+    "update_summary",
+]

@@ -1,0 +1,182 @@
+"""Checkpointing: best-k tracking, recovery, resume, and non-strict
+pretrain->downstream transfer.
+
+Replicates the timm CheckpointSaver semantics the reference relies on
+(/root/reference/train_mirror.py:917-927, 1352-1357, 776-784):
+- ``save_checkpoint(epoch, metric)`` keeps the ``max_history`` best
+  checkpoints ranked by the eval metric, plus ``last`` and ``model_best``;
+- ``save_recovery`` writes a rolling recovery file every N updates;
+- ``resume`` restores params + optimizer state + epoch;
+- payload keys (epoch/arch/state_dict/ema/metric/args/version) match the
+  reference's on-disk contract observed in tools/split_weights.py:55-70.
+
+Format: flax msgpack of numpy pytrees — single-host friendly; arrays are
+pulled off-device at save time.
+"""
+
+import logging
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+_logger = logging.getLogger(__name__)
+
+EXT = ".msgpack"
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint_file(path: str, payload: Dict[str, Any]) -> None:
+    data = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint_file(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+class CheckpointSaver:
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        arch: str = "",
+        args_text: str = "",
+        decreasing: bool = False,
+        max_history: int = 5,
+    ) -> None:
+        self.checkpoint_dir = checkpoint_dir
+        self.arch = arch
+        self.args_text = args_text
+        self.decreasing = decreasing  # True when lower metric is better (loss)
+        self.max_history = max(max_history, 1)
+        self.checkpoint_files: List[Tuple[str, float]] = []
+        self.best_metric: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _payload(self, state, epoch: int, metric: Optional[float]) -> Dict[str, Any]:
+        # strings/ints stay native python; only array pytrees go through
+        # _to_host (numpy), otherwise msgpack round-trips strings as str_
+        # arrays it cannot restore.
+        return {
+            "epoch": epoch,
+            "arch": self.arch,
+            "state_dict": _to_host(state.params),
+            "ema_state_dict": (
+                _to_host(state.ema_params) if state.ema_params is not None else {}
+            ),
+            "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+            "metric": float(metric) if metric is not None else -1.0,
+            "args": self.args_text,
+            "version": 2,
+        }
+
+    def _cmp(self, a: float, b: float) -> bool:
+        return a < b if self.decreasing else a > b
+
+    def save_checkpoint(self, state, epoch: int, metric: Optional[float] = None):
+        """Returns (best_metric, best_epoch) like timm."""
+        path = os.path.join(self.checkpoint_dir, f"checkpoint-{epoch}{EXT}")
+        save_checkpoint_file(path, self._payload(state, epoch, metric))
+        last = os.path.join(self.checkpoint_dir, f"last{EXT}")
+        save_checkpoint_file(last, self._payload(state, epoch, metric))
+
+        if metric is not None:
+            self.checkpoint_files.append((path, metric))
+            self.checkpoint_files.sort(
+                key=lambda t: t[1], reverse=not self.decreasing
+            )
+            while len(self.checkpoint_files) > self.max_history:
+                drop_path, _ = self.checkpoint_files.pop()
+                if os.path.exists(drop_path):
+                    os.remove(drop_path)
+            if self.best_metric is None or self._cmp(metric, self.best_metric):
+                self.best_metric = metric
+                self.best_epoch = epoch
+                best = os.path.join(self.checkpoint_dir, f"model_best{EXT}")
+                save_checkpoint_file(best, self._payload(state, epoch, metric))
+        return self.best_metric, self.best_epoch
+
+    def save_recovery(self, state, epoch: int, batch_idx: int) -> None:
+        path = os.path.join(self.checkpoint_dir, f"recovery{EXT}")
+        save_checkpoint_file(path, self._payload(state, epoch, None))
+
+
+def resume_checkpoint(
+    state, path: str, resume_opt: bool = True
+) -> Tuple[Any, int]:
+    """Restore params (+ optimizer state) from a checkpoint; returns
+    (state, start_epoch) — start_epoch = saved epoch + 1 (timm convention)."""
+    payload = load_checkpoint_file(path)
+    params = serialization.from_state_dict(state.params, payload["state_dict"])
+    new_state = state.replace(params=params)
+    if payload.get("ema_state_dict") and state.ema_params is not None:
+        new_state = new_state.replace(
+            ema_params=serialization.from_state_dict(
+                state.ema_params, payload["ema_state_dict"]
+            )
+        )
+    if resume_opt and payload.get("opt_state") is not None:
+        new_state = new_state.replace(
+            opt_state=serialization.from_state_dict(
+                state.opt_state, payload["opt_state"]
+            )
+        )
+    start_epoch = int(payload.get("epoch", -1)) + 1
+    _logger.info("Resumed from %s (epoch %d)", path, start_epoch - 1)
+    return new_state, start_epoch
+
+
+def merge_params(
+    target: Any, source: Any, prefix: str = ""
+) -> Tuple[Any, List[str], List[str]]:
+    """Non-strict parameter transfer (torch load_state_dict(strict=False),
+    ref train_subtyping.py:740-745): copy every leaf whose path and shape
+    match; keep the target init elsewhere. Returns (merged, loaded, skipped)."""
+    loaded: List[str] = []
+    skipped: List[str] = []
+
+    def merge(t, s, path):
+        if isinstance(t, dict):
+            out = {}
+            for k, v in t.items():
+                if isinstance(s, dict) and k in s:
+                    out[k] = merge(v, s[k], f"{path}/{k}")
+                else:
+                    skipped.append(f"{path}/{k}")
+                    out[k] = v
+            return out
+        s_arr = np.asarray(s)
+        t_arr = np.asarray(t)
+        if s_arr.shape == t_arr.shape:
+            loaded.append(path)
+            return s_arr.astype(t_arr.dtype)
+        skipped.append(f"{path} (shape {s_arr.shape} != {t_arr.shape})")
+        return t
+
+    merged = merge(target, source, prefix)
+    return merged, loaded, skipped
+
+
+def load_pretrained(params: Any, checkpoint_path: str, use_ema: bool = False) -> Any:
+    """Load a pretrain checkpoint into a (different) downstream model,
+    non-strict."""
+    payload = load_checkpoint_file(checkpoint_path)
+    source = payload.get("ema_state_dict") if use_ema else None
+    if not source:
+        source = payload["state_dict"]
+    merged, loaded, skipped = merge_params(params, source)
+    _logger.info(
+        "Loaded %d param tensors from %s (%d target entries kept their init)",
+        len(loaded), checkpoint_path, len(skipped),
+    )
+    return merged

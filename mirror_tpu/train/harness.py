@@ -1,0 +1,214 @@
+"""Shared training harness: the TPU equivalent of the reference's four
+~1,400-line timm-style train scripts (/root/reference/train_*.py).
+
+One epoch-driven loop serves all workloads; per-task behavior (step
+functions, eval metrics) is injected. Replicated reference semantics:
+
+- LR auto-scaling from base lr + global batch (train_mirror.py:725-740)
+- per-interval composite log line with loss meters, samples/sec
+  (train_mirror.py:1335-1350)
+- epoch summary.csv via ``update_summary`` (+ optional wandb)
+- CheckpointSaver best-k ranking and recovery checkpoints
+- final ``--result`` JSON on stdout (train_mirror.py:1079-1083)
+
+TPU specifics: one jitted train step (state donated, batch sharded over the
+``data`` mesh axis), bf16 compute / fp32 params, no GradScaler; the host
+loader thread overlaps IO with device compute.
+"""
+
+import json
+import logging
+import os
+import time
+from collections import OrderedDict
+from datetime import datetime
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from mirror_tpu.parallel import create_mesh, replicate, shard_batch
+from mirror_tpu.utils import AverageMeter, setup_default_logging
+
+_logger = logging.getLogger("train")
+
+
+def update_summary(
+    epoch: int,
+    train_metrics: Dict[str, float],
+    eval_metrics: Optional[Dict[str, float]],
+    filename: str,
+    write_header: bool = False,
+) -> None:
+    rowd = OrderedDict(epoch=epoch)
+    rowd.update([("train_" + k, v) for k, v in train_metrics.items()])
+    if eval_metrics:
+        rowd.update([("eval_" + k, v) for k, v in eval_metrics.items()])
+    import csv
+
+    with open(filename, mode="a") as cf:
+        dw = csv.DictWriter(cf, fieldnames=rowd.keys())
+        if write_header:
+            dw.writeheader()
+        dw.writerow(rowd)
+
+
+def setup_output_dir(args, task: str) -> Optional[str]:
+    if not args.output:
+        return None
+    exp_name = args.experiment or "-".join(
+        [datetime.now().strftime("%Y%m%d-%H%M%S"), args.model, f"fold_{args.fold_nb}"]
+    )
+    out_dir = os.path.join(args.output, task, exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+    return out_dir
+
+
+class TrainHarness:
+    """Drives epochs over a jitted train step + an eval hook."""
+
+    def __init__(
+        self,
+        args,
+        mesh,
+        state,
+        train_step: Callable,
+        train_loader,
+        eval_fn: Optional[Callable],
+        saver,
+        out_dir: Optional[str],
+        rng,
+        eval_metric: str = "loss",
+        decreasing_metric: bool = True,
+        schedule: Optional[Callable] = None,
+    ) -> None:
+        self.args = args
+        self.mesh = mesh
+        self.state = state
+        self.train_step = jax.jit(train_step, donate_argnums=0)
+        self.train_loader = train_loader
+        self.eval_fn = eval_fn
+        self.saver = saver
+        self.out_dir = out_dir
+        self.rng = rng
+        self.eval_metric = eval_metric
+        self.decreasing_metric = decreasing_metric
+        self.schedule = schedule
+        self.global_step = 0
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        args = self.args
+        meters: Dict[str, AverageMeter] = {}
+        samples_m = AverageMeter()
+        self.train_loader.set_epoch(epoch)
+        num_batches = len(self.train_loader)
+        end = time.time()
+        first_metrics = None
+
+        for batch_idx, host_batch in enumerate(self.train_loader):
+            valid = host_batch.pop("valid", None)
+            batch = shard_batch(self.mesh, host_batch)
+            step_rng = jax.random.fold_in(self.rng, self.global_step)
+            self.state, metrics = self.train_step(self.state, batch, step_rng)
+            self.global_step += 1
+
+            if (
+                batch_idx % args.log_interval == 0
+                or batch_idx == num_batches - 1
+            ):
+                # pulling metrics to host synchronizes the step
+                metrics = {k: float(v) for k, v in metrics.items()}
+                bs = next(iter(host_batch.values())).shape[0]
+                dt = time.time() - end
+                samples_m.update(bs / max(dt, 1e-9))
+                for k, v in metrics.items():
+                    meters.setdefault(k, AverageMeter()).update(v, bs)
+                if first_metrics is None:
+                    first_metrics = metrics
+                _logger.info(
+                    "Train: %d [%4d/%d] Loss: %.4g (%.4g)  %s %.1f samples/s",
+                    epoch, batch_idx, num_batches,
+                    metrics.get("loss", float("nan")),
+                    meters["loss"].avg if "loss" in meters else float("nan"),
+                    " ".join(
+                        f"{k}: {v:.4g}" for k, v in metrics.items()
+                        if k not in ("loss",)
+                    ),
+                    samples_m.val,
+                )
+            if (
+                self.saver is not None
+                and args.recovery_interval
+                and (batch_idx + 1) % args.recovery_interval == 0
+            ):
+                self.saver.save_recovery(self.state, epoch, batch_idx)
+            end = time.time()
+
+        return {k: m.avg for k, m in meters.items()}
+
+    def run(self) -> Dict[str, float]:
+        args = self.args
+        best_metric, best_epoch = None, None
+        start_epoch = getattr(args, "start_epoch", None) or 0
+        summary_path = (
+            os.path.join(self.out_dir, "summary.csv") if self.out_dir else None
+        )
+        for epoch in range(start_epoch, args.epochs):
+            t0 = time.time()
+            train_metrics = self.train_one_epoch(epoch)
+            eval_metrics = None
+            if self.eval_fn is not None:
+                eval_metrics = self.eval_fn(self.state, epoch, self.rng)
+                _logger.info(
+                    "Eval: %d  %s",
+                    epoch,
+                    " ".join(f"{k}: {v:.4f}" for k, v in eval_metrics.items()),
+                )
+            if summary_path:
+                update_summary(
+                    epoch, train_metrics, eval_metrics, summary_path,
+                    write_header=epoch == start_epoch,
+                )
+            metric_source = eval_metrics or train_metrics
+            metric_val = metric_source.get(self.eval_metric)
+            if self.saver is not None and metric_val is not None:
+                best_metric, best_epoch = self.saver.save_checkpoint(
+                    self.state, epoch, metric_val
+                )
+            elif metric_val is not None and not np.isnan(metric_val):
+                better = best_metric is None or (
+                    metric_val < best_metric
+                    if self.decreasing_metric
+                    else metric_val > best_metric
+                )
+                if better:
+                    best_metric, best_epoch = metric_val, epoch
+            _logger.info("Epoch %d done in %.1fs", epoch, time.time() - t0)
+
+        results = {
+            "best_metric": best_metric,
+            "best_epoch": best_epoch,
+            "metric_name": self.eval_metric,
+        }
+        print(f"--result\n{json.dumps(results, indent=4)}")
+        return results
+
+
+def common_setup(args, task: str):
+    """Logging, seeding, mesh. Returns (root_rng, mesh, out_dir)."""
+    setup_default_logging()
+    from mirror_tpu.utils import random_seed
+
+    rng = random_seed(args.seed)
+    mesh = create_mesh()
+    _logger.info(
+        "MIRROR-TPU %s: %d device(s), mesh %s", task, len(jax.devices()),
+        dict(zip(mesh.axis_names, mesh.devices.shape)),
+    )
+    out_dir = setup_output_dir(args, task)
+    if out_dir:
+        import yaml
+
+        with open(os.path.join(out_dir, "args.yaml"), "w") as f:
+            f.write(yaml.safe_dump(vars(args), default_flow_style=False))
+    return rng, mesh, out_dir

@@ -1,0 +1,309 @@
+"""Jitted train/eval steps for all three workloads.
+
+Everything stateful in the reference train loops is folded into one pure
+function per step, compiled once by XLA:
+
+- per-batch prototype L2 renorm under no_grad (train_mirror.py:1133-1137)
+  -> applied to params at the top of the step (idempotent);
+- logit-scale clamp to [0, ln 100] post-update (train_mirror.py:1254-1256);
+- EMA shadow-weight update (ModelEmaV3, train_mirror.py:787-799);
+- AMP: the model computes in bf16, losses in fp32 (the survival reference
+  explicitly disables AMP for the loss, train_survival.py:1266-1272 — here
+  every loss is fp32 by construction).
+
+Data parallelism: the caller jits these with the batch sharded over the
+``data`` mesh axis and the state replicated; XLA turns the global-batch
+mathematics into per-chip compute + ICI all-reduces. Note the contrastive
+loss therefore sees GLOBAL-batch negatives (the BASELINE north-star design);
+the reference's multi-GPU runs used per-rank local negatives, identical only
+at world size 1.
+"""
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mirror_tpu.losses import (
+    MirrorLossWeights,
+    ce_surv_loss,
+    info_nce,
+    mirror_loss,
+    nll_surv_loss,
+)
+from .state import TrainState
+
+LOG_100 = math.log(100.0)
+
+
+def renorm_prototypes(params: Any) -> Any:
+    """L2-normalize each prototype vector. The flax kernel is (D, P) — the
+    transpose of the torch (P, D) weight — so rows of the torch weight are
+    columns here; normalize along axis 0."""
+    if "prototypes" not in params:
+        return params
+    kernel = params["prototypes"]["kernel"]
+    norm = jnp.linalg.norm(kernel, axis=0, keepdims=True)
+    kernel = kernel / jnp.maximum(norm, 1e-12)
+    return {**params, "prototypes": {**params["prototypes"], "kernel": kernel}}
+
+
+def clamp_logit_scale(params: Any) -> Any:
+    if "logit_scale" not in params:
+        return params
+    return {**params, "logit_scale": jnp.clip(params["logit_scale"], 0.0, LOG_100)}
+
+
+def _ema_update(ema, params, decay: float):
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
+
+
+def _apply_updates(state: TrainState, grads, tx, ema_decay: Optional[float]):
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    params = clamp_logit_scale(params)
+    ema_params = state.ema_params
+    if ema_params is not None and ema_decay is not None:
+        ema_params = _ema_update(ema_params, params, ema_decay)
+    return state.replace(
+        step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema_params
+    )
+
+
+def _split_rngs(rng: jax.Array) -> Dict[str, jax.Array]:
+    r = jax.random.split(rng, 3)
+    return {"dropout": r[0], "masking": r[1], "style": r[2]}
+
+
+# ---------------------------------------------------------------------------
+# MIRROR pretraining
+# ---------------------------------------------------------------------------
+
+def make_mirror_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_weights: MirrorLossWeights,
+    wsi_mask_ratio: float = 0.75,
+    rna_mask_ratio: float = 0.75,
+    ema_decay: Optional[float] = None,
+    schedule: Optional[Callable] = None,
+) -> Callable:
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rngs = _split_rngs(rng)
+        params0 = renorm_prototypes(state.params)
+        state = state.replace(params=params0)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                batch["wsi"],
+                batch["rna"],
+                wsi_mask_ratio,
+                rna_mask_ratio,
+                False,  # deterministic
+                rngs=rngs,
+            )
+            losses = mirror_loss(*out, weights=loss_weights)
+            return losses[0], losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params0)
+        new_state = _apply_updates(state, grads, tx, ema_decay)
+        metrics = {
+            "loss": loss,
+            "alignment_loss": losses[1],
+            "wsi_retention_loss": losses[2],
+            "rna_retention_loss": losses[3],
+            "style_loss": losses[4],
+            "cluster_loss": losses[5],
+            "logit_scale": jnp.exp(
+                jnp.clip(new_state.params["logit_scale"], 0.0, LOG_100)
+            ),
+        }
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_mirror_eval_step(
+    model,
+    loss_weights: MirrorLossWeights,
+    wsi_mask_ratio: float = 0.75,
+    rna_mask_ratio: float = 0.75,
+) -> Callable:
+    """Validation forward (train_mirror.py:1382-1526). Dropout is off but
+    masking noise and VAE sampling stay stochastic, exactly like torch
+    model.eval() which only disables dropout."""
+
+    def eval_step(params, batch: Dict, rng: jax.Array):
+        rngs = _split_rngs(rng)
+        out = model.apply(
+            {"params": params},
+            batch["wsi"], batch["rna"],
+            wsi_mask_ratio, rna_mask_ratio,
+            True,  # deterministic: no dropout
+            rngs=rngs,
+        )
+        losses = mirror_loss(*out, weights=loss_weights)
+        return {
+            "loss": losses[0],
+            "alignment_loss": losses[1],
+            "wsi_retention_loss": losses[2],
+            "rna_retention_loss": losses[3],
+            "style_loss": losses[4],
+            "cluster_loss": losses[5],
+        }
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Vanilla CLIP-style pretraining (train_pretrain.py path)
+# ---------------------------------------------------------------------------
+
+def make_clip_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    temperature: float = 0.1,
+    symmetric: bool = False,
+    ema_decay: Optional[float] = None,
+) -> Callable:
+    """InfoNCE dual-encoder pretraining (ref train_pretrain.py:1119-1122,
+    873-875; expects model(wsi, rna) -> (wsi_emb, rna_emb))."""
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rngs = _split_rngs(rng)
+
+        def loss_fn(params):
+            wsi_emb, rna_emb = model.apply(
+                {"params": params}, batch["wsi"], batch["rna"], False, rngs=rngs
+            )
+            return info_nce(
+                wsi_emb, rna_emb, temperature=temperature, symmetric=symmetric
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = _apply_updates(state, grads, tx, ema_decay)
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def make_clip_eval_step(model, temperature: float = 0.1, symmetric: bool = False):
+    def eval_step(params, batch: Dict, rng: jax.Array):
+        rngs = _split_rngs(rng)
+        wsi_emb, rna_emb = model.apply(
+            {"params": params}, batch["wsi"], batch["rna"], True, rngs=rngs
+        )
+        loss = info_nce(wsi_emb, rna_emb, temperature=temperature, symmetric=symmetric)
+        return {"loss": loss}
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Subtyping (classification)
+# ---------------------------------------------------------------------------
+
+def smoothed_xent(
+    logits: jax.Array, labels: jax.Array, smoothing: float = 0.0
+) -> jax.Array:
+    """CE with label smoothing (timm LabelSmoothingCrossEntropy,
+    ref train_subtyping.py:982-990)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    if smoothing > 0:
+        smooth = -jnp.mean(logp, axis=-1)
+        return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
+    return jnp.mean(nll)
+
+
+def make_classifier_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    smoothing: float = 0.0,
+    wsi_only: bool = False,
+    ema_decay: Optional[float] = None,
+) -> Callable:
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rngs = _split_rngs(rng)
+        rna = None if wsi_only else batch["rna"]
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, batch["wsi"], rna, False, rngs=rngs
+            )
+            return smoothed_xent(logits, batch["label"], smoothing)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = _apply_updates(state, grads, tx, ema_decay)
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def make_classifier_eval_step(model, wsi_only: bool = False) -> Callable:
+    """Returns fp32 logits; losses/metrics are computed host-side over the
+    valid (non-padded) rows so tail-batch padding never distorts them."""
+
+    def eval_step(params, batch: Dict):
+        rna = None if wsi_only else batch["rna"]
+        logits = model.apply({"params": params}, batch["wsi"], rna, True)
+        return logits.astype(jnp.float32)
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Survival
+# ---------------------------------------------------------------------------
+
+def make_survival_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_name: str = "nll_surv",
+    loss_alpha: float = 0.0,
+    wsi_only: bool = False,
+    ema_decay: Optional[float] = None,
+) -> Callable:
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rngs = _split_rngs(rng)
+        rna = None if wsi_only else batch["rna"]
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, batch["wsi"], rna, False, rngs=rngs
+            ).astype(jnp.float32)
+            if loss_name == "ce_surv":
+                return ce_surv_loss(logits, batch["label"], batch["censorship"])
+            return nll_surv_loss(
+                logits, batch["label"], batch["censorship"], alpha=loss_alpha
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = _apply_updates(state, grads, tx, ema_decay)
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def make_survival_eval_step(model, wsi_only: bool = False) -> Callable:
+    """Returns fp32 logits; risk = -sum_t S(t) (ref train_survival.py:1431-1436)
+    and the loss are derived host-side over valid rows only."""
+
+    def eval_step(params, batch: Dict):
+        rna = None if wsi_only else batch["rna"]
+        logits = model.apply({"params": params}, batch["wsi"], rna, True)
+        return logits.astype(jnp.float32)
+
+    return eval_step
+
+
+def survival_risk(logits) -> jnp.ndarray:
+    hazards = jax.nn.sigmoid(jnp.asarray(logits, jnp.float32))
+    survival = jnp.cumprod(1.0 - hazards, axis=1)
+    return -jnp.sum(survival, axis=1)

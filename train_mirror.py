@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""MIRROR pretraining entry point (TPU).
+
+CLI-compatible rebuild of /root/reference/train_mirror.py:
+``python train_mirror.py --config configs/pretrain/mirror.yaml --fold-nb 0``
+with CLI flags overriding YAML. The torchrun launcher disappears: one process
+drives all chips via SPMD over the device mesh.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_tpu.config import parse_args, resolve_lr
+from mirror_tpu.data import Loader, PretrainDataset
+from mirror_tpu.losses import MirrorLossWeights
+from mirror_tpu.parallel import replicate, shard_batch
+from mirror_tpu.registry import create_model
+from mirror_tpu.train import (
+    CheckpointSaver,
+    TrainHarness,
+    common_setup,
+    create_train_state,
+    load_pretrained,
+    make_optimizer,
+    make_schedule,
+    resume_checkpoint,
+)
+from mirror_tpu.train.steps import make_mirror_eval_step, make_mirror_train_step
+from mirror_tpu.utils import AverageMeter
+
+_logger = logging.getLogger("train")
+
+
+def main(argv=None):
+    args, args_text = parse_args("pretrain", argv)
+    rng, mesh, out_dir = common_setup(args, "pretrain")
+    n_devices = mesh.devices.size
+
+    dataset = PretrainDataset(
+        args.wsi_feature_dir,
+        args.rna_feature_csv,
+        num_wsi_feature_tokens=args.num_wsi_feature_tokens,
+        splits=args.split_dir,
+        k=args.k,
+        cache=args.cache,
+    )
+    dataset.update_fold_nb(args.fold_nb)
+
+    model_kwargs = dict(args.model_kwargs or {})
+    if model_kwargs.get("rna_embed_dim") not in (None, dataset.rna_dim):
+        _logger.warning(
+            "model_kwargs rna_embed_dim=%s != dataset rna dim %d; using dataset",
+            model_kwargs.get("rna_embed_dim"), dataset.rna_dim,
+        )
+    model_kwargs["rna_embed_dim"] = dataset.rna_dim
+    model_kwargs.setdefault("wsi_num_tokens", args.num_wsi_feature_tokens)
+    if args.amp:
+        model_kwargs.setdefault("dtype", args.amp_dtype)
+    model_kwargs.setdefault("use_pallas", args.use_pallas)
+    model = create_model(args.model, **model_kwargs)
+
+    if args.batch_size % n_devices:
+        raise SystemExit(
+            f"batch_size {args.batch_size} must divide over {n_devices} devices"
+        )
+
+    # init params on a host-shaped dummy batch
+    wsi_dim = model.wsi_embed_dim
+    dummy = {
+        "wsi": jnp.zeros((2, args.num_wsi_feature_tokens, wsi_dim), jnp.float32),
+        "rna": jnp.zeros((2, dataset.rna_dim), jnp.float32),
+    }
+    init_rngs = dict(
+        zip(["params", "dropout", "masking", "style"], jax.random.split(rng, 4))
+    )
+    variables = jax.jit(
+        lambda r, w, x: model.init(
+            r, w, x, args.wsi_mask_ratio, args.rna_mask_ratio, True
+        ),
+        static_argnums=(),
+    )(init_rngs, dummy["wsi"], dummy["rna"])
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    _logger.info("Model %s created, param count: %d", args.model, n_params)
+
+    dataset.train()
+    train_loader = Loader(
+        dataset, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+
+    lr = resolve_lr(args, args.batch_size)
+    schedule = make_schedule(args, steps_per_epoch, lr)
+    tx = make_optimizer(args, schedule)
+    state = create_train_state(params, tx, model_ema=args.model_ema)
+
+    start_epoch = 0
+    if args.initial_checkpoint:
+        state = state.replace(
+            params=load_pretrained(state.params, args.initial_checkpoint)
+        )
+    if args.resume:
+        state, start_epoch = resume_checkpoint(
+            state, args.resume, resume_opt=not args.no_resume_opt
+        )
+        args.start_epoch = start_epoch
+    state = replicate(mesh, state)
+
+    loss_weights = MirrorLossWeights(
+        alignment=float((args.loss_kwargs or {}).get("alignment_loss_weight", 0.5)),
+        wsi_retention=float(
+            (args.loss_kwargs or {}).get("wsi_retention_loss_weight", 0.1)
+        ),
+        rna_retention=float(
+            (args.loss_kwargs or {}).get("rna_retention_loss_weight", 0.1)
+        ),
+        style=float((args.loss_kwargs or {}).get("style_loss_weight", 0.1)),
+        cluster=float((args.loss_kwargs or {}).get("cluster_loss_weight", 0.2)),
+    )
+    train_step = make_mirror_train_step(
+        model, tx, loss_weights,
+        wsi_mask_ratio=args.wsi_mask_ratio,
+        rna_mask_ratio=args.rna_mask_ratio,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
+        schedule=schedule,
+    )
+    eval_step = jax.jit(
+        make_mirror_eval_step(
+            model, loss_weights, args.wsi_mask_ratio, args.rna_mask_ratio
+        )
+    )
+
+    eval_fn = None
+    if args.val and args.split_dir is not None:
+        val_batch = args.validation_batch_size or args.batch_size
+
+        def eval_fn(state, epoch, root_rng):
+            val_ds = dataset.val()
+            # exact tail batch (no padding): contrastive loss must not see
+            # duplicated samples. XLA compiles the tail shape once.
+            loader = Loader(
+                val_ds, val_batch, shuffle=False, drop_last=False, pad_last=False,
+                seed=args.seed,
+            )
+            meters = {}
+            for i, host_batch in enumerate(loader):
+                host_batch.pop("valid", None)
+                bs = host_batch["wsi"].shape[0]
+                batch = (
+                    shard_batch(mesh, host_batch)
+                    if bs % n_devices == 0
+                    else jax.device_put(host_batch)
+                )
+                step_rng = jax.random.fold_in(root_rng, 10_000_000 + epoch * 10_000 + i)
+                metrics = eval_step(state.params, batch, step_rng)
+                for k, v in metrics.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v), bs)
+            out = {k: m.avg for k, m in meters.items()}
+            dataset.train()
+            return out
+
+    saver = None
+    if out_dir:
+        saver = CheckpointSaver(
+            out_dir, arch=args.model, args_text=args_text,
+            decreasing=True, max_history=args.checkpoint_hist,
+        )
+
+    harness = TrainHarness(
+        args, mesh, state, train_step, train_loader, eval_fn, saver, out_dir,
+        rng, eval_metric="loss", decreasing_metric=True, schedule=schedule,
+    )
+    return harness.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Vanilla CLIP-style (InfoNCE) pretraining entry point (TPU).
+
+CLI-compatible rebuild of /root/reference/train_pretrain.py: a dual-encoder
+model returning (wsi_emb, rna_emb) trained with InfoNCE over in-batch
+negatives. The reference registers no such model (SURVEY.md section 2.4) —
+``mirror_dual`` (TransMIL + TransFormer with projection heads) fills that gap
+and is the default here.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from mirror_tpu.config import parse_args, resolve_lr
+from mirror_tpu.data import Loader, PretrainDataset
+from mirror_tpu.parallel import replicate, shard_batch
+from mirror_tpu.registry import create_model
+from mirror_tpu.train import (
+    CheckpointSaver,
+    TrainHarness,
+    common_setup,
+    create_train_state,
+    load_pretrained,
+    make_optimizer,
+    make_schedule,
+    resume_checkpoint,
+)
+from mirror_tpu.train.steps import make_clip_eval_step, make_clip_train_step
+from mirror_tpu.utils import AverageMeter
+
+_logger = logging.getLogger("train")
+
+
+def main(argv=None):
+    args, args_text = parse_args("pretrain", argv)
+    if args.model == "mirror":
+        args.model = "mirror_dual"
+    rng, mesh, out_dir = common_setup(args, "pretrain_clip")
+    n_devices = mesh.devices.size
+
+    dataset = PretrainDataset(
+        args.wsi_feature_dir,
+        args.rna_feature_csv,
+        num_wsi_feature_tokens=args.num_wsi_feature_tokens,
+        splits=args.split_dir,
+        k=args.k,
+        cache=args.cache,
+    )
+    dataset.update_fold_nb(args.fold_nb)
+
+    model_kwargs = dict(args.model_kwargs or {})
+    model_kwargs["rna_embed_dim"] = dataset.rna_dim
+    if args.amp:
+        model_kwargs.setdefault("dtype", args.amp_dtype)
+    model_kwargs.setdefault("use_pallas", args.use_pallas)
+    model = create_model(args.model, **model_kwargs)
+
+    if args.batch_size % n_devices:
+        raise SystemExit(
+            f"batch_size {args.batch_size} must divide over {n_devices} devices"
+        )
+
+    wsi_dim = model.wsi_embed_dim
+    dummy_wsi = jnp.zeros((2, args.num_wsi_feature_tokens, wsi_dim), jnp.float32)
+    dummy_rna = jnp.zeros((2, dataset.rna_dim), jnp.float32)
+    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+    params = jax.jit(lambda r: model.init(r, dummy_wsi, dummy_rna, True))(
+        init_rngs
+    )["params"]
+    _logger.info(
+        "Model %s created, param count: %d",
+        args.model, sum(x.size for x in jax.tree.leaves(params)),
+    )
+
+    dataset.train()
+    train_loader = Loader(
+        dataset, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+
+    lr = resolve_lr(args, args.batch_size)
+    schedule = make_schedule(args, steps_per_epoch, lr)
+    tx = make_optimizer(args, schedule)
+    state = create_train_state(params, tx, model_ema=args.model_ema)
+    start_epoch = 0
+    if args.initial_checkpoint:
+        state = state.replace(
+            params=load_pretrained(state.params, args.initial_checkpoint)
+        )
+    if args.resume:
+        state, start_epoch = resume_checkpoint(
+            state, args.resume, resume_opt=not args.no_resume_opt
+        )
+        args.start_epoch = start_epoch
+    state = replicate(mesh, state)
+
+    train_step = make_clip_train_step(
+        model, tx, temperature=args.temperature,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
+    )
+    eval_step = jax.jit(make_clip_eval_step(model, temperature=args.temperature))
+
+    eval_fn = None
+    if args.val and args.split_dir is not None:
+        val_batch = args.validation_batch_size or args.batch_size
+
+        def eval_fn(state, epoch, root_rng):
+            val_ds = dataset.val()
+            loader = Loader(
+                val_ds, val_batch, shuffle=False, drop_last=False, pad_last=False,
+                seed=args.seed,
+            )
+            meters = {}
+            for i, host_batch in enumerate(loader):
+                host_batch.pop("valid", None)
+                bs = host_batch["wsi"].shape[0]
+                batch = (
+                    shard_batch(mesh, host_batch)
+                    if bs % n_devices == 0
+                    else jax.device_put(host_batch)
+                )
+                step_rng = jax.random.fold_in(root_rng, 20_000_000 + epoch * 10_000 + i)
+                metrics = eval_step(state.params, batch, step_rng)
+                for k, v in metrics.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v), bs)
+            dataset.train()
+            return {k: m.avg for k, m in meters.items()}
+
+    saver = None
+    if out_dir:
+        saver = CheckpointSaver(
+            out_dir, arch=args.model, args_text=args_text,
+            decreasing=True, max_history=args.checkpoint_hist,
+        )
+    harness = TrainHarness(
+        args, mesh, state, train_step, train_loader, eval_fn, saver, out_dir,
+        rng, eval_metric="loss", decreasing_metric=True, schedule=schedule,
+    )
+    return harness.run()
+
+
+if __name__ == "__main__":
+    main()

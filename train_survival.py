@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Survival-prediction fine-tuning entry point (TPU).
+
+CLI-compatible rebuild of /root/reference/train_survival.py: discrete-time
+survival with NLL-surv or CE-surv losses, risk = -sum of cumulative survival,
+and a concordance index computed GLOBALLY over the validation set (the
+reference averages per-rank c-indices across GPUs — a distortion this
+rebuild fixes; see SURVEY.md section 3.3).
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_tpu.config import parse_args, resolve_lr
+from mirror_tpu.data import Loader, SurvivalDataset
+from mirror_tpu.losses import ce_surv_loss, nll_surv_loss
+from mirror_tpu.parallel import replicate, shard_batch
+from mirror_tpu.registry import create_model
+from mirror_tpu.train import (
+    CheckpointSaver,
+    TrainHarness,
+    common_setup,
+    create_train_state,
+    load_pretrained,
+    make_optimizer,
+    make_schedule,
+    resume_checkpoint,
+)
+from mirror_tpu.train.metrics import concordance_index_censored
+from mirror_tpu.train.steps import (
+    make_survival_eval_step,
+    make_survival_train_step,
+    survival_risk,
+)
+from train_subtyping import clamp_batch_size, head_only_mask, reinit_head
+
+_logger = logging.getLogger("train")
+
+
+def main(argv=None):
+    args, args_text = parse_args("survival", argv)
+    rng, mesh, out_dir = common_setup(args, "survival")
+    n_devices = mesh.devices.size
+
+    dataset = SurvivalDataset(
+        args.wsi_feature_dir,
+        args.rna_feature_csv,
+        args.survival_csv,
+        num_wsi_feature_tokens=args.num_wsi_feature_tokens,
+        splits=args.split_dir,
+        k=args.k,
+        num_bins=args.num_bins,
+        wsi_feature_only=args.wsi_feature_only,
+        cache=args.cache,
+    )
+    dataset.update_fold_nb(args.fold_nb)
+    assert args.num_classes == args.num_bins, (
+        f"num_classes {args.num_classes} must equal num_bins {args.num_bins}"
+    )
+
+    model_kwargs = dict(args.model_kwargs or {})
+    model_kwargs["num_classes"] = args.num_bins
+    model_kwargs["rna_embed_dim"] = dataset.rna_dim
+    if args.amp:
+        model_kwargs.setdefault("dtype", args.amp_dtype)
+    model_kwargs.setdefault("use_pallas", args.use_pallas)
+    if args.wsi_feature_only:
+        model_kwargs.setdefault("fusion", "add")
+    model = create_model(args.model, **model_kwargs)
+
+    wsi_dim = model.wsi_embed_dim
+    dummy_wsi = jnp.zeros((2, args.num_wsi_feature_tokens, wsi_dim), jnp.float32)
+    dummy_rna = None if args.wsi_feature_only else jnp.zeros(
+        (2, dataset.rna_dim), jnp.float32
+    )
+    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+    params = jax.jit(lambda r: model.init(r, dummy_wsi, dummy_rna, True))(
+        init_rngs
+    )["params"]
+    _logger.info(
+        "Model %s created, param count: %d",
+        args.model, sum(x.size for x in jax.tree.leaves(params)),
+    )
+
+    if args.initial_checkpoint:
+        params = load_pretrained(params, args.initial_checkpoint)
+    if args.linear_probe:
+        params = reinit_head(params, jax.random.fold_in(rng, 2), std=0.01)
+        _logger.info("Linear probe: training head only")
+    elif args.init_head:
+        params = reinit_head(
+            params, jax.random.fold_in(rng, 2), scale=args.head_init_scale,
+            bias=args.head_init_bias, std=None,
+        )
+
+    dataset.train()
+    batch_size = clamp_batch_size(args.batch_size, len(dataset))
+    if batch_size % n_devices:
+        raise SystemExit(f"batch_size {batch_size} must divide over {n_devices} devices")
+    train_loader = Loader(
+        dataset, batch_size, shuffle=not args.weighted_sampler,
+        drop_last=args.drop_last, weighted=args.weighted_sampler, seed=args.seed,
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+
+    lr = resolve_lr(args, batch_size)
+    schedule = make_schedule(args, steps_per_epoch, lr)
+    trainable_mask = head_only_mask(params) if args.linear_probe else None
+    tx = make_optimizer(args, schedule, trainable_mask=trainable_mask)
+    state = create_train_state(params, tx, model_ema=args.model_ema)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = resume_checkpoint(
+            state, args.resume, resume_opt=not args.no_resume_opt
+        )
+        args.start_epoch = start_epoch
+    state = replicate(mesh, state)
+
+    train_step = make_survival_train_step(
+        model, tx, loss_name=args.loss, loss_alpha=args.loss_alpha,
+        wsi_only=args.wsi_feature_only,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
+    )
+    eval_step = jax.jit(make_survival_eval_step(model, args.wsi_feature_only))
+
+    def eval_fn(state, epoch, root_rng):
+        val_ds = dataset.val()
+        val_batch = args.validation_batch_size or batch_size
+        loader = Loader(
+            val_ds, val_batch, shuffle=False, drop_last=False, pad_last=True,
+            seed=args.seed,
+        )
+        logits_all, labels_all, times_all, censor_all = [], [], [], []
+        for host_batch in loader:
+            valid = host_batch.pop("valid")
+            batch = shard_batch(mesh, host_batch)
+            logits = np.asarray(eval_step(state.params, batch))
+            keep = valid > 0
+            logits_all.append(logits[keep])
+            labels_all.append(host_batch["label"][keep])
+            times_all.append(host_batch["event_time"][keep])
+            censor_all.append(host_batch["censorship"][keep])
+        logits = np.concatenate(logits_all)
+        labels = np.concatenate(labels_all)
+        times = np.concatenate(times_all)
+        censor = np.concatenate(censor_all)
+        risks = np.asarray(survival_risk(logits))
+        if args.loss == "ce_surv":
+            loss = float(ce_surv_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(censor)))
+        else:
+            loss = float(nll_surv_loss(
+                jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(censor),
+                alpha=args.loss_alpha,
+            ))
+        try:
+            cindex = concordance_index_censored(
+                censor.astype(bool), times, risks, tied_tol=1e-8
+            )[0]
+        except ValueError as e:
+            _logger.warning("c-index undefined this epoch: %s", e)
+            cindex = float("nan")
+        dataset.train()
+        return {"loss": loss, "c-index": cindex}
+
+    saver = None
+    if out_dir:
+        saver = CheckpointSaver(
+            out_dir, arch=args.model, args_text=args_text,
+            decreasing=args.eval_metric == "loss", max_history=args.checkpoint_hist,
+        )
+    harness = TrainHarness(
+        args, mesh, state, train_step, train_loader,
+        eval_fn if args.val else None, saver, out_dir, rng,
+        eval_metric=args.eval_metric,
+        decreasing_metric=args.eval_metric == "loss",
+        schedule=schedule,
+    )
+    return harness.run()
+
+
+if __name__ == "__main__":
+    main()
