@@ -32,6 +32,7 @@ class MIRRORDual(nn.Module):
     rna_drop_path_rate: float = 0.0
     rna_norm_eps: float = 1e-6
     use_pallas: bool = False
+    grad_checkpointing: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -40,6 +41,7 @@ class MIRRORDual(nn.Module):
             input_dim=self.wsi_embed_dim,
             embed_dim=self.embed_dim,
             use_pallas=self.use_pallas,
+            grad_checkpointing=self.grad_checkpointing,
             dtype=self.dtype,
         )
         self.rna_encoder = TransFormer(

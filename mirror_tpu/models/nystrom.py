@@ -14,13 +14,16 @@ num_landmarks=dim//2, pinv_iterations=6, residual=True, dropout=0.1):
 5. out = attn1 @ pinv(attn2) @ (attn3 @ v) + depthwise-conv residual over the
    value path (kernel 33 along the sequence, one filter per head, no bias)
 
-This dense implementation is the parity reference; ``use_pallas=True``
-routes the three-matrix product through the fused Pallas TPU kernel in
-``mirror_tpu.ops.nystrom_pallas`` (identical math, tiled for VMEM).
-
-TPU notes: all matmuls carry ``preferred_element_type=float32`` via fp32
-softmax; shapes are static (sequence length fixed by config) so XLA tiles
-everything onto the MXU.
+TPU design notes:
+- tensors stay in ``[b, n, h, dh]`` layout end-to-end; head transposes are
+  expressed inside einsums so XLA folds them into the matmuls instead of
+  materializing 600 MB+ relayout copies (observed in the HBM dump of the
+  first implementation);
+- softmaxes accumulate in fp32, matmuls run in bf16 on the MXU;
+- ``use_pallas=True`` swaps the two n-length softmax-matmul pipelines for
+  fused Pallas kernels (mirror_tpu.ops.nystrom_pallas) that keep the
+  [n, m] attention matrices in VMEM; the m x m pinv stays in XLA to
+  preserve the reference's global-max scaling quirk exactly.
 """
 
 from typing import Optional
@@ -71,8 +74,9 @@ class NystromAttention(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         b, n, d = x.shape
         h, m = self.heads, self.num_landmarks
-        inner = h * self.dim_head
-        scale = self.dim_head**-0.5
+        dh = self.dim_head
+        inner = h * dh
+        scale = dh**-0.5
 
         kernel_init = (
             jax.nn.initializers.xavier_uniform() if self.xavier_init else None
@@ -87,36 +91,69 @@ class NystromAttention(nn.Module):
             inner * 3, d, use_bias=False, kernel_init=kernel_init, name="to_qkv",
             dtype=self.dtype,
         )(x)
-        qkv = qkv.reshape(b, n_pad, 3, h, self.dim_head)
-        q, k, v = (
-            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
-        )  # each [b, h, n_pad, dh]
-        q = q * scale
+        # stay in [b, n, h, dh]; head-major transposes live inside einsums
+        q = qkv[..., :inner].reshape(b, n_pad, h, dh) * scale
+        k = qkv[..., inner : 2 * inner].reshape(b, n_pad, h, dh)
+        v = qkv[..., 2 * inner :].reshape(b, n_pad, h, dh)
 
         # landmarks: mean over contiguous groups of l tokens
         l = n_pad // m
-        q_l = jnp.mean(q.reshape(b, h, m, l, self.dim_head), axis=3)
-        k_l = jnp.mean(k.reshape(b, h, m, l, self.dim_head), axis=3)
+        q_l = jnp.mean(q.reshape(b, m, l, h, dh), axis=2)
+        k_l = jnp.mean(k.reshape(b, m, l, h, dh), axis=2)
+
+        # attn2^+ : [b, h, m, m] — small; stays in XLA for the global-max
+        # scaling quirk of the reference pinv. The iteration runs in the
+        # compute dtype: under AMP the torch reference's pinv matmuls are
+        # fp16 (autocast), so bf16 here is the faithful (and 4x faster on
+        # the MXU) equivalent; fp32 mode keeps it fp32.
+        sim2 = jnp.einsum(
+            "bihd,bjhd->bhij", q_l, k_l, preferred_element_type=jnp.float32
+        )
+        attn2 = jax.nn.softmax(sim2, axis=-1)
+        attn2 = attn2.astype(self.dtype or jnp.float32)
+        attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
 
         if self.use_pallas:
-            from mirror_tpu.ops.nystrom_pallas import nystrom_attention_core
+            from mirror_tpu.ops.nystrom_pallas import (
+                softmax_matmul_landmark_q,
+                softmax_matmul_landmark_kv,
+            )
 
-            out = nystrom_attention_core(q, k, v, q_l, k_l, self.pinv_iterations)
+            # kernels take head-major [b, h, n, dh]; XLA folds these
+            # transposes into the producing matmuls' output layouts
+            q_hm = q.transpose(0, 2, 1, 3)
+            k_hm = k.transpose(0, 2, 1, 3)
+            v_hm = v.transpose(0, 2, 1, 3)
+            ql_hm = q_l.transpose(0, 2, 1, 3)
+            kl_hm = k_l.transpose(0, 2, 1, 3)
+            # r3 = softmax(q_l k^T) v : [b, h, m, dh]
+            r3 = softmax_matmul_landmark_kv(ql_hm, k_hm, v_hm)
+            w = attn2_inv @ r3  # [b, h, m, dh], compute dtype
+            out = softmax_matmul_landmark_q(q_hm, kl_hm, w.astype(q.dtype))
+            out = out.transpose(0, 2, 1, 3).astype(x.dtype)  # back to [b,n,h,dh]
         else:
-            sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)  # [b,h,n,m]
-            sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)  # [b,h,m,m]
-            sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)  # [b,h,m,n]
-            attn1 = jax.nn.softmax(sim1.astype(jnp.float32), axis=-1)
-            attn2 = jax.nn.softmax(sim2.astype(jnp.float32), axis=-1)
-            attn3 = jax.nn.softmax(sim3.astype(jnp.float32), axis=-1)
-            attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
-            out = (attn1 @ attn2_inv) @ (attn3 @ v.astype(jnp.float32))
+            cdt = self.dtype or jnp.float32
+            sim1 = jnp.einsum(
+                "bihd,bjhd->bhij", q, k_l, preferred_element_type=jnp.float32
+            )  # [b,h,n,m]
+            sim3 = jnp.einsum(
+                "bihd,bjhd->bhij", q_l, k, preferred_element_type=jnp.float32
+            )  # [b,h,m,n]
+            # fp32 softmax, then matmuls in the compute dtype — the same
+            # numerics as torch AMP (softmax fp32, matmul fp16/bf16)
+            attn1 = jax.nn.softmax(sim1, axis=-1).astype(cdt)
+            attn3 = jax.nn.softmax(sim3, axis=-1).astype(cdt)
+            r3 = jnp.einsum("bhij,bjhd->bhid", attn3, v)
+            w = attn2_inv @ r3  # [b,h,m,dh]
+            out = jnp.einsum("bhij,bhjd->bihd", attn1, w)  # [b,n,h,dh]
             out = out.astype(x.dtype)
 
         if self.residual:
             # torch Conv2d(heads, heads, (K, 1), padding=(K//2, 0),
             # groups=heads, bias=False) over [b, h, n, dh]: a depthwise conv
             # along the sequence axis, one kernel per head, shared across dh.
+            # Expressed on the [b, n, h, dh] layout as an NHWC conv with
+            # spatial dims (n, dh) and channel = h.
             kernel = self.param(
                 "res_conv_kernel",
                 # torch conv default init with fan_in = (in_ch/groups)*K*1 = K
@@ -127,18 +164,19 @@ class NystromAttention(nn.Module):
                 ),
                 (h, 1, self.residual_conv_kernel, 1),
             )
+            # NHWC: input [b, n, dh, h], kernel HWIO [K, 1, 1, h] (grouped)
             res = jax.lax.conv_general_dilated(
-                v.astype(jnp.float32),
-                kernel.astype(jnp.float32),
+                v.transpose(0, 1, 3, 2).astype(jnp.float32),
+                kernel.transpose(2, 3, 1, 0).astype(jnp.float32),
                 window_strides=(1, 1),
                 padding=((self.residual_conv_kernel // 2,) * 2, (0, 0)),
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=h,
-            ).astype(out.dtype)
+            ).transpose(0, 1, 3, 2).astype(out.dtype)
             out = out + res
 
-        # merge heads: [b, h, n, dh] -> [b, n, h*dh]
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n_pad, inner)
+        # merge heads: [b, n, h, dh] -> [b, n, h*dh] (no transpose needed)
+        out = out.reshape(b, n_pad, inner)
         out = dense(
             d, inner, kernel_init=kernel_init, name="to_out", dtype=self.dtype
         )(out)

@@ -118,12 +118,24 @@ class FeatureTransMIL(nn.Module):
     xavier_init: bool = False
     cls_token_std: float = 1.0  # plain randn in the reference (ref :347)
     use_pallas: bool = False
+    grad_checkpointing: bool = False
     dtype: Optional[jnp.dtype] = None
+
+    def _layer_cls(self):
+        """TransLayer, rematerialized when grad checkpointing is on — trades
+        recompute for activation HBM (the reference's --grad-checkpointing)."""
+        # static_argnums=(2,): `deterministic` is a python bool, not a tracer
+        return (
+            nn.remat(TransLayer, static_argnums=(2,))
+            if self.grad_checkpointing
+            else TransLayer
+        )
 
     def setup(self):
         kernel_init = (
             jax.nn.initializers.xavier_uniform() if self.xavier_init else None
         )
+        layer_cls = self._layer_cls()
         self.fc1 = dense(
             self.embed_dim, self.input_dim, kernel_init=kernel_init, name="fc1",
             dtype=self.dtype,
@@ -131,11 +143,11 @@ class FeatureTransMIL(nn.Module):
         self.cls_token = self.param(
             "cls_token", normal_init(self.cls_token_std), (1, 1, self.embed_dim)
         )
-        self.layer1 = TransLayer(
+        self.layer1 = layer_cls(
             dim=self.embed_dim, xavier_init=self.xavier_init,
             use_pallas=self.use_pallas, dtype=self.dtype,
         )
-        self.layer2 = TransLayer(
+        self.layer2 = layer_cls(
             dim=self.embed_dim, xavier_init=self.xavier_init,
             use_pallas=self.use_pallas, dtype=self.dtype,
         )
@@ -217,8 +229,9 @@ class FeatureTransMILHybrid(FeatureTransMIL):
             trunc_normal_init(0.02),
             (1, self.num_tokens + 1, self.embed_dim),
         )
+        layer_cls = self._layer_cls()
         self.retention_blocks = [
-            TransLayer(
+            layer_cls(
                 dim=self.embed_dim, xavier_init=self.xavier_init,
                 use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"retention_block_{i}",

@@ -1,0 +1,77 @@
+"""Pallas fused-attention kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mirror_tpu.models import NystromAttention
+from mirror_tpu.ops.nystrom_pallas import fused_softmax_attn
+
+
+def _naive(q, k, w):
+    sim = jnp.einsum("bhrd,bhcd->bhrc", q, k).astype(jnp.float32)
+    attn = jax.nn.softmax(sim, -1)
+    return jnp.einsum("bhrc,bhcd->bhrd", attn, w.astype(jnp.float32))
+
+
+def test_fused_softmax_attn_forward():
+    rng = np.random.default_rng(0)
+    b, r, c, h, d = 2, 64, 32, 4, 16
+    q = jnp.array(rng.normal(size=(b, h, r, d)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(b, h, c, d)).astype(np.float32))
+    w = jnp.array(rng.normal(size=(b, h, c, d)).astype(np.float32))
+    got = np.asarray(fused_softmax_attn(q, k, w))
+    want = np.asarray(_naive(q, k, w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_softmax_attn_grad():
+    rng = np.random.default_rng(1)
+    b, r, c, h, d = 1, 16, 24, 2, 8
+    q = jnp.array(rng.normal(size=(b, h, r, d)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(b, h, c, d)).astype(np.float32))
+    w = jnp.array(rng.normal(size=(b, h, c, d)).astype(np.float32))
+
+    def f_fused(q, k, w):
+        return jnp.sum(fused_softmax_attn(q, k, w) ** 2)
+
+    def f_naive(q, k, w):
+        return jnp.sum(_naive(q, k, w) ** 2)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, w)
+    g_naive = jax.grad(f_naive, argnums=(0, 1, 2))(q, k, w)
+    for gf, gn in zip(g_fused, g_naive):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gn), rtol=1e-4, atol=1e-4)
+
+
+def test_nystrom_pallas_matches_dense():
+    """The full NystromAttention module: use_pallas=True == dense path."""
+    dim, heads, dim_head, m, n = 32, 4, 8, 16, 48
+    x = jnp.array(
+        np.random.default_rng(2).normal(size=(2, n, dim)).astype(np.float32)
+    )
+    dense_mod = NystromAttention(
+        dim=dim, dim_head=dim_head, heads=heads, num_landmarks=m, dropout=0.0
+    )
+    pallas_mod = NystromAttention(
+        dim=dim, dim_head=dim_head, heads=heads, num_landmarks=m, dropout=0.0,
+        use_pallas=True,
+    )
+    params = dense_mod.init(jax.random.PRNGKey(0), x)
+    out_dense = np.asarray(dense_mod.apply(params, x))
+    out_pallas = np.asarray(pallas_mod.apply(params, x))
+    np.testing.assert_allclose(out_pallas, out_dense, rtol=1e-4, atol=1e-4)
+
+    # gradients agree too
+    def loss(mod):
+        def f(p):
+            return jnp.sum(mod.apply(p, x) ** 2)
+        return jax.grad(f)(params)
+
+    gd = loss(dense_mod)
+    gp = loss(pallas_mod)
+    flat_d = jax.tree_util.tree_leaves(gd)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for a, b in zip(flat_d, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)

@@ -55,6 +55,7 @@ def main(argv=None):
     if args.amp:
         model_kwargs.setdefault("dtype", args.amp_dtype)
     model_kwargs.setdefault("use_pallas", args.use_pallas)
+    model_kwargs.setdefault("grad_checkpointing", args.grad_checkpointing)
     model = create_model(args.model, **model_kwargs)
 
     if args.batch_size % n_devices:
