@@ -1,0 +1,289 @@
+"""Patch feature-extraction backbones (flax.linen), TPU-first.
+
+Rebuilds the reference's two feature extractors
+(/root/reference/tools/feature_generation/):
+- ``ViTB16`` — Phikon is an iBOT-pretrained ViT-B/16 whose CLS embedding of
+  the last hidden state is the 768-d patch feature
+  (feature_models/phikon.py:5-13 wraps HF ViTModel). Architecture matches HF
+  ``ViTModel`` (LN eps 1e-12, learned pos embeddings, GELU) so HF weights
+  convert 1:1 via ``load_hf_vit_weights``.
+- ``TruncatedResNet50`` — CLAM-style ResNet50 cut after layer3 with adaptive
+  average pooling => 1024-d (feature_models/resnet_custom.py:53-127).
+  torchvision weights convert via ``load_torch_resnet50_weights``.
+
+Both run in bf16 with fp32 params; BatchNorm uses running statistics
+(inference mode) exactly like the reference's frozen eval-mode backbones.
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# ViT-B/16 (Phikon-compatible)
+# ---------------------------------------------------------------------------
+
+
+class ViTSelfAttention(nn.Module):
+    num_heads: int = 12
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, d = x.shape
+        head_dim = d // self.num_heads
+
+        def proj(name):
+            return nn.Dense(d, name=name, dtype=self.dtype, param_dtype=jnp.float32)
+
+        q = proj("query")(x).reshape(b, n, self.num_heads, head_dim)
+        k = proj("key")(x).reshape(b, n, self.num_heads, head_dim)
+        v = proj("value")(x).reshape(b, n, self.num_heads, head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim**-0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+        return proj("output")(out)
+
+
+class ViTBlock(nn.Module):
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    norm_eps: float = 1e-12
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def ln(name):
+            return nn.LayerNorm(
+                epsilon=self.norm_eps, dtype=self.dtype, param_dtype=jnp.float32,
+                name=name,
+            )
+
+        d = x.shape[-1]
+        x = x + ViTSelfAttention(self.num_heads, dtype=self.dtype, name="attention")(
+            ln("layernorm_before")(x)
+        )
+        y = ln("layernorm_after")(x)
+        y = nn.Dense(
+            int(d * self.mlp_ratio), name="intermediate", dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(d, name="output", dtype=self.dtype, param_dtype=jnp.float32)(y)
+        return x + y
+
+
+class ViTB16(nn.Module):
+    """ViT-B/16 encoder returning the CLS embedding ([B, 768])."""
+
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    norm_eps: float = 1e-12
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [B, H, W, 3] normalized (NHWC)."""
+        b = images.shape[0]
+        x = nn.Conv(
+            self.hidden_size,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_embed",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(images.astype(self.dtype or jnp.float32))
+        x = x.reshape(b, -1, self.hidden_size)
+        n_patches = x.shape[1]
+        cls = self.param(
+            "cls_token", jax.nn.initializers.truncated_normal(0.02),
+            (1, 1, self.hidden_size),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.hidden_size)), x],
+            axis=1,
+        )
+        pos = self.param(
+            "pos_embed", jax.nn.initializers.truncated_normal(0.02),
+            (1, n_patches + 1, self.hidden_size),
+        )
+        x = x + pos.astype(x.dtype)
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.num_heads, norm_eps=self.norm_eps, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x)
+        x = nn.LayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype, param_dtype=jnp.float32,
+            name="layernorm",
+        )(x)
+        return x[:, 0].astype(jnp.float32)
+
+
+def load_hf_vit_weights(params: Dict, hf_state: Dict[str, Any]) -> Dict:
+    """Convert a HF ViTModel state_dict (torch tensors or numpy) into our
+    param tree. Keys follow transformers.ViTModel naming."""
+
+    def g(name):
+        t = hf_state[name]
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+    p = jax.tree.map(np.asarray, params)
+    emb = "embeddings."
+    p["cls_token"] = g(emb + "cls_token")
+    p["pos_embed"] = g(emb + "position_embeddings")
+    # conv: torch OIHW -> flax HWIO
+    p["patch_embed"]["kernel"] = g(
+        emb + "patch_embeddings.projection.weight"
+    ).transpose(2, 3, 1, 0)
+    p["patch_embed"]["bias"] = g(emb + "patch_embeddings.projection.bias")
+    for i in range(12):
+        hb = f"encoder.layer.{i}."
+        blk = p[f"block_{i}"]
+        for ours, theirs in (
+            ("query", "attention.attention.query"),
+            ("key", "attention.attention.key"),
+            ("value", "attention.attention.value"),
+            ("output", "attention.output.dense"),
+        ):
+            blk["attention"][ours]["kernel"] = g(hb + theirs + ".weight").T
+            blk["attention"][ours]["bias"] = g(hb + theirs + ".bias")
+        blk["intermediate"]["kernel"] = g(hb + "intermediate.dense.weight").T
+        blk["intermediate"]["bias"] = g(hb + "intermediate.dense.bias")
+        blk["output"]["kernel"] = g(hb + "output.dense.weight").T
+        blk["output"]["bias"] = g(hb + "output.dense.bias")
+        blk["layernorm_before"]["scale"] = g(hb + "layernorm_before.weight")
+        blk["layernorm_before"]["bias"] = g(hb + "layernorm_before.bias")
+        blk["layernorm_after"]["scale"] = g(hb + "layernorm_after.weight")
+        blk["layernorm_after"]["bias"] = g(hb + "layernorm_after.bias")
+    p["layernorm"]["scale"] = g("layernorm.weight")
+    p["layernorm"]["bias"] = g("layernorm.bias")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Truncated ResNet50 (CLAM-style, 1024-d)
+# ---------------------------------------------------------------------------
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def conv(f, k, s, name):
+            return nn.Conv(
+                f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+                use_bias=False, name=name, dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=True, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            )
+
+        residual = x
+        y = nn.relu(bn("bn1")(conv(self.features, 1, 1, "conv1")(x)))
+        y = nn.relu(bn("bn2")(conv(self.features, 3, self.strides, "conv2")(y)))
+        y = bn("bn3")(conv(self.features * 4, 1, 1, "conv3")(y))
+        if self.downsample:
+            residual = bn("downsample_bn")(
+                conv(self.features * 4, 1, self.strides, "downsample_conv")(x)
+            )
+        return nn.relu(y + residual)
+
+
+class TruncatedResNet50(nn.Module):
+    """ResNet50 through layer3 + global average pool => [B, 1024]."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [B, H, W, 3] normalized (NHWC)."""
+        x = images.astype(self.dtype or jnp.float32)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            name="conv1", dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=True, epsilon=1e-5, dtype=self.dtype,
+            param_dtype=jnp.float32, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        stages = ((64, 3, 1), (128, 4, 2), (256, 6, 2))  # layer1..layer3
+        for li, (f, blocks, stride) in enumerate(stages, start=1):
+            for bi in range(blocks):
+                x = Bottleneck(
+                    f,
+                    strides=stride if bi == 0 else 1,
+                    downsample=bi == 0,
+                    dtype=self.dtype,
+                    name=f"layer{li}_block{bi}",
+                )(x)
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # [B, 1024]
+
+
+def load_torch_resnet50_weights(params: Dict, torch_state: Dict[str, Any]) -> Dict:
+    """Convert torchvision resnet50 state_dict (through layer3) into our
+    param/batch_stats trees. Returns {'params': ..., 'batch_stats': ...}."""
+
+    def g(name):
+        t = torch_state[name]
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+    p = jax.tree.map(np.asarray, params["params"])
+    bs = jax.tree.map(np.asarray, params["batch_stats"])
+
+    def set_conv(dst, name):
+        dst["kernel"] = g(name + ".weight").transpose(2, 3, 1, 0)
+
+    def set_bn(dst_p, dst_s, name):
+        dst_p["scale"] = g(name + ".weight")
+        dst_p["bias"] = g(name + ".bias")
+        dst_s["mean"] = g(name + ".running_mean")
+        dst_s["var"] = g(name + ".running_var")
+
+    set_conv(p["conv1"], "conv1")
+    set_bn(p["bn1"], bs["bn1"], "bn1")
+    blocks = {1: 3, 2: 4, 3: 6}
+    for li, nb in blocks.items():
+        for bi in range(nb):
+            ours_p = p[f"layer{li}_block{bi}"]
+            ours_s = bs[f"layer{li}_block{bi}"]
+            theirs = f"layer{li}.{bi}"
+            for ci in (1, 2, 3):
+                set_conv(ours_p[f"conv{ci}"], f"{theirs}.conv{ci}")
+                set_bn(ours_p[f"bn{ci}"], ours_s[f"bn{ci}"], f"{theirs}.bn{ci}")
+            if bi == 0:
+                set_conv(ours_p["downsample_conv"], f"{theirs}.downsample.0")
+                set_bn(
+                    ours_p["downsample_bn"], ours_s["downsample_bn"],
+                    f"{theirs}.downsample.1",
+                )
+    return {"params": p, "batch_stats": bs}
+
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def normalize_images(uint8_images: np.ndarray) -> np.ndarray:
+    """uint8 [B, H, W, 3] RGB -> ImageNet-normalized float32 (the reference's
+    albumentations Normalize, dataset_feature_generation.py:55-72)."""
+    x = uint8_images.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD

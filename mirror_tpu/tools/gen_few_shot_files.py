@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Generate k-shot (few-shot) split files.
+
+Semantics of /root/reference/tools/gen_few_shot_files.py:100-190: for each
+fold and shot count, group the training slides by label (survival disc_label
+or subtyping class), rejection-sample a k-shot support set per label until
+every sampled slide has >= num_wsi_feature_tokens patches (sampling WITH
+replacement via random.choices, like the reference), and write
+``{output}/{task}/{k}foldcv/{shot}-shot/{class_name}/splits_{fold}.csv``
+with 12-char patient IDs (train = support set, val = the fold's query set).
+"""
+
+import argparse
+import logging
+import os
+import random
+
+import pandas as pd
+
+from mirror_tpu.data import SubtypingDataset, SurvivalDataset
+from mirror_tpu.data.formats import load_feature_file
+
+logging.basicConfig(level=logging.INFO)
+_logger = logging.getLogger("gen_few_shot")
+
+
+def _group_by_label(dataset, task):
+    groups = {}
+    if task == "survival":
+        for idx in dataset.train_feature_ids:
+            row = dataset.survival_data.loc[
+                dataset.survival_data[dataset.slide_id_column].apply(
+                    lambda x: x.split(".")[0]
+                )
+                == idx[:15]
+            ]
+            label = int(row["disc_label"].iloc[0])
+            groups.setdefault(label, []).append(idx)
+    else:
+        for idx in dataset.train_feature_ids:
+            groups.setdefault(dataset.class_dict[idx], []).append(idx)
+    return groups
+
+
+def gen_few_shot(dataset, task, output_dir, shots, k, num_tokens, class_name):
+    for fold in range(k):
+        dataset.update_fold_nb(fold)
+        groups = _group_by_label(dataset, task)
+        for shot in shots:
+            _logger.info("Generating %d-shot files for %s fold %d", shot, task, fold)
+            support = []
+            for label, ids in groups.items():
+                while True:
+                    cand = random.choices(ids, k=shot)
+                    ok = all(
+                        len(load_feature_file(dataset._feature_path(s))) >= num_tokens
+                        for s in cand
+                    )
+                    if ok:
+                        break
+                support.extend(cand)
+            support = [s[:12] for s in support]
+            query = [s[:12] for s in dataset.val_feature_ids]
+            df = pd.DataFrame(
+                {"train": pd.Series(support), "val": pd.Series(query)}
+            )
+            out = os.path.join(
+                output_dir, task, f"{k}foldcv", f"{shot}-shot", class_name,
+                f"splits_{fold}.csv",
+            )
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            df.to_csv(out)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tasks", nargs="+", default=["subtyping", "survival"])
+    p.add_argument("--shots", type=int, nargs="+", default=[10])
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--num-wsi-feature-tokens", type=int, default=2048)
+    p.add_argument("--num-bins", type=int, default=4)
+    p.add_argument("--rna-feature-csv", required=True)
+    p.add_argument("--split-dir", required=True)
+    p.add_argument("--survival-wsi-feature-dir")
+    p.add_argument("--survival-csv")
+    p.add_argument("--subtyping-wsi-feature-dir")
+    p.add_argument("--subtyping-classes", nargs="+")
+    p.add_argument("--class-name", required=True, help="cohort name, e.g. tcga_brca")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+    random.seed(args.seed)
+
+    for task in args.tasks:
+        if task == "survival":
+            ds = SurvivalDataset(
+                args.survival_wsi_feature_dir, args.rna_feature_csv,
+                args.survival_csv, num_wsi_feature_tokens=args.num_wsi_feature_tokens,
+                splits=args.split_dir, k=args.k, num_bins=args.num_bins,
+            )
+        elif task == "subtyping":
+            ds = SubtypingDataset(
+                args.subtyping_wsi_feature_dir, args.rna_feature_csv,
+                args.subtyping_classes,
+                num_wsi_feature_tokens=args.num_wsi_feature_tokens,
+                splits=args.split_dir, k=args.k,
+            )
+        else:
+            raise SystemExit(f"Invalid task: {task}")
+        gen_few_shot(
+            ds, task, args.output_dir, args.shots, args.k,
+            args.num_wsi_feature_tokens, args.class_name,
+        )
+    _logger.info("Done")
+
+
+if __name__ == "__main__":
+    main()

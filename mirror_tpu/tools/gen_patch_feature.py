@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Patch feature extraction: streaming image decode -> jitted TPU backbone ->
+per-slide feature files.
+
+Rebuild of /root/reference/tools/feature_generation/gen_patch_feature.py
+(Config-class driven, README.md:90) + dataset_feature_generation.py as a
+TPU pipeline:
+
+- slides are directories of patch JPEGs under ``{root}/{class}/{slide}/``
+  (gen_patch.py's output layout) or flat ``{root}/{slide}/``;
+- host threads decode+resize+normalize patches (cv2, INTER_AREA to 224,
+  ImageNet normalization — the reference's albumentations transform);
+- fixed-size batches (tail padded) feed one jitted bf16 backbone; the
+  TPU computes while the host decodes the next batch (double-buffered
+  queue);
+- per-slide ``[n_patches, D]`` features are written as ``.npy`` (native) or
+  ``.pt`` (reference-compatible);
+- K-fold slide sharding ``[fold::k]`` for multi-process runs matches
+  KFoldPatchDataset (dataset_feature_generation.py:121-132).
+
+Backbones: ``custom_resnet50`` (1024-d truncated ResNet50) and ``phikon``
+(ViT-B/16 CLS, 768-d). Pretrained weights load from a local HF snapshot /
+torch checkpoint when given; otherwise random init (feature *pipeline*
+benchmarking still works).
+"""
+
+import argparse
+import logging
+import os
+import queue
+import threading
+import time
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+_logger = logging.getLogger("gen_patch_feature")
+
+IMG_EXTS = (".jpeg", ".jpg", ".png")
+
+
+def list_slides(patch_root: str) -> List[Tuple[str, str]]:
+    """Returns (slide_name, slide_dir) pairs; supports class subdirs."""
+    slides = []
+    for entry in sorted(os.listdir(patch_root)):
+        p = os.path.join(patch_root, entry)
+        if not os.path.isdir(p):
+            continue
+        files = [f for f in os.listdir(p) if f.lower().endswith(IMG_EXTS)]
+        if files:
+            slides.append((entry, p))
+        else:  # class dir containing slide dirs
+            for sub in sorted(os.listdir(p)):
+                sp = os.path.join(p, sub)
+                if os.path.isdir(sp):
+                    slides.append((os.path.join(entry, sub), sp))
+    return slides
+
+
+def decode_patch(path: str, size: int = 224) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path)  # BGR
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if img.shape[:2] != (size, size):
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+    return img
+
+
+def batched_patch_stream(
+    patch_files: List[str],
+    batch_size: int,
+    size: int = 224,
+    num_threads: int = 4,
+    prefetch: int = 4,
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """Yields (normalized [B, size, size, 3] float32, n_valid). The tail
+    batch is padded to keep one compiled XLA program."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mirror_tpu.models.feature_extractors import normalize_images
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    sentinel = object()
+
+    def producer():
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            for i in range(0, len(patch_files), batch_size):
+                chunk = patch_files[i : i + batch_size]
+                imgs = list(pool.map(lambda f: decode_patch(f, size), chunk))
+                arr = np.stack(imgs)
+                n_valid = len(chunk)
+                if n_valid < batch_size:
+                    pad = np.repeat(arr[-1:], batch_size - n_valid, axis=0)
+                    arr = np.concatenate([arr, pad])
+                q.put((normalize_images(arr), n_valid))
+        q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    t.join()
+
+
+def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat16"):
+    """Returns (jitted_fn(images)->features, feature_dim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirror_tpu.models.feature_extractors import (
+        TruncatedResNet50,
+        ViTB16,
+        load_hf_vit_weights,
+        load_torch_resnet50_weights,
+    )
+
+    dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    if model_name == "phikon":
+        model = ViTB16(dtype=jnp.dtype(dtype))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
+        params = variables["params"]
+        if checkpoint:
+            hf_state = _load_hf_state(checkpoint)
+            params = load_hf_vit_weights(params, hf_state)
+            _logger.info("Loaded Phikon/ViT weights from %s", checkpoint)
+        else:
+            _logger.warning("No checkpoint given: random ViT weights")
+        fn = jax.jit(lambda imgs: model.apply({"params": params}, imgs))
+        return fn, 768
+    if model_name == "custom_resnet50":
+        model = TruncatedResNet50(dtype=jnp.dtype(dtype))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
+        if checkpoint:
+            import torch
+
+            state = torch.load(checkpoint, map_location="cpu", weights_only=True)
+            variables = load_torch_resnet50_weights(dict(variables), state)
+            _logger.info("Loaded ResNet50 weights from %s", checkpoint)
+        else:
+            _logger.warning("No checkpoint given: random ResNet50 weights")
+        fn = jax.jit(lambda imgs: model.apply(variables, imgs))
+        return fn, 1024
+    raise SystemExit(f"Unknown model {model_name}")
+
+
+def _load_hf_state(path_or_repo: str):
+    """Local HF snapshot directory (pytorch_model.bin / model.safetensors)."""
+    import os as _os
+
+    if _os.path.isdir(path_or_repo):
+        bin_path = _os.path.join(path_or_repo, "pytorch_model.bin")
+        st_path = _os.path.join(path_or_repo, "model.safetensors")
+        if _os.path.exists(st_path):
+            from safetensors.numpy import load_file
+
+            return load_file(st_path)
+        import torch
+
+        return torch.load(bin_path, map_location="cpu", weights_only=True)
+    # repo id: only works with a warm HF cache / network
+    from transformers import ViTModel
+
+    return ViTModel.from_pretrained(path_or_repo).state_dict()
+
+
+def extract_features(
+    patch_root: str,
+    output_dir: str,
+    model_name: str = "phikon",
+    checkpoint: str = "",
+    batch_size: int = 256,
+    fold: int = 0,
+    k: int = 1,
+    num_threads: int = 8,
+    fmt: str = "npy",
+    skip_existing: bool = True,
+) -> dict:
+    from mirror_tpu.data.formats import save_feature_file
+
+    fn, dim = build_extractor(model_name, checkpoint)
+    slides = list_slides(patch_root)[fold::k]
+    _logger.info("%d slides (shard %d/%d)", len(slides), fold, k)
+    total_patches = 0
+    t_start = time.time()
+    for slide_name, slide_dir in slides:
+        out_path = os.path.join(output_dir, slide_name.replace(os.sep, "/")) + f".{fmt}"
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        if skip_existing and os.path.exists(out_path):
+            _logger.info("skip existing %s", out_path)
+            continue
+        patch_files = sorted(
+            os.path.join(slide_dir, f)
+            for f in os.listdir(slide_dir)
+            if f.lower().endswith(IMG_EXTS)
+        )
+        feats = []
+        t0 = time.time()
+        for batch, n_valid in batched_patch_stream(
+            patch_files, batch_size, num_threads=num_threads
+        ):
+            out = np.asarray(fn(batch))
+            feats.append(out[:n_valid])
+        features = np.concatenate(feats) if feats else np.zeros((0, dim), np.float32)
+        save_feature_file(out_path, features)
+        dt = time.time() - t0
+        total_patches += len(patch_files)
+        _logger.info(
+            "%s: %d patches -> %s in %.1fs (%.1f patches/s)",
+            slide_name, len(patch_files), out_path, dt, len(patch_files) / max(dt, 1e-9),
+        )
+    wall = time.time() - t_start
+    stats = {
+        "slides": len(slides),
+        "patches": total_patches,
+        "seconds": wall,
+        "patches_per_sec": total_patches / max(wall, 1e-9),
+    }
+    _logger.info("Done: %s", stats)
+    return stats
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("patch_root", help="root dir of patch images")
+    p.add_argument("output_dir")
+    p.add_argument("--model", default="phikon", choices=["phikon", "custom_resnet50"])
+    p.add_argument("--checkpoint", default="", help="local weights (HF dir or .pt)")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--fold", type=int, default=0, help="slide shard index")
+    p.add_argument("--k", type=int, default=1, help="total slide shards")
+    p.add_argument("--num-threads", type=int, default=8)
+    p.add_argument("--format", default="npy", choices=["npy", "pt"])
+    p.add_argument("--no-skip-existing", action="store_false", dest="skip_existing")
+    a = p.parse_args()
+    extract_features(
+        a.patch_root, a.output_dir, a.model, a.checkpoint, a.batch_size,
+        a.fold, a.k, a.num_threads, a.format, a.skip_existing,
+    )
+
+
+if __name__ == "__main__":
+    main()

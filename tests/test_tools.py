@@ -1,0 +1,215 @@
+"""Tool tests: splits, weight splitting, few-shot, subtypes, tiling,
+feature extraction (incl. ViT parity vs HF transformers)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mirror_tpu.data import make_synthetic_cohort
+from mirror_tpu.data.formats import save_feature_file
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toolco")
+    return make_synthetic_cohort(str(root), n_patients=10, feature_dim=16, rna_dim=32)
+
+
+def test_gen_splits(cohort, tmp_path):
+    from mirror_tpu.tools.gen_splits import gen_splits
+
+    out = str(tmp_path / "splits")
+    gen_splits(cohort["feature_dir"], out, k=5, seed=1)
+    import pandas as pd
+
+    vals = set()
+    for i in range(5):
+        df = pd.read_csv(os.path.join(out, f"splits_{i}.csv"), index_col=0)
+        assert {"train", "val"} <= set(df.columns)
+        fold_val = set(df["val"].dropna())
+        assert not (fold_val & vals)  # folds are disjoint
+        vals |= fold_val
+    assert len(vals) == 10  # every patient appears in exactly one val fold
+
+
+def test_split_weights_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mirror_tpu.registry import create_model
+    from mirror_tpu.train.checkpoint import (
+        load_checkpoint_file,
+        load_pretrained,
+        save_checkpoint_file,
+    )
+    from mirror_tpu.tools.split_weights import split_weights
+
+    model = create_model(
+        "mirror", wsi_embed_dim=16, rna_embed_dim=32, embed_dim=24,
+        wsi_num_tokens=8, rna_mlp_ratio=2.0, num_prototypes=10,
+        style_mlp_hidden_dim=12, style_mlp_out_dim=8, style_latent_dim=4,
+    )
+    rngs = dict(zip(["params", "dropout", "masking", "style"],
+                    jax.random.split(jax.random.PRNGKey(0), 4)))
+    params = model.init(rngs, jnp.ones((2, 8, 16)), jnp.ones((2, 32)), 0.75, 0.75, False)["params"]
+    ckpt = str(tmp_path / "checkpoint-0.msgpack")
+    save_checkpoint_file(ckpt, {
+        "epoch": 0, "arch": "mirror", "state_dict": jax.tree.map(np.asarray, params),
+        "ema_state_dict": {}, "opt_state": None, "metric": 1.0, "args": "", "version": 2,
+    })
+    split_weights(ckpt)
+    for modality in ("wsi", "rna"):
+        path = str(tmp_path / f"{modality}_checkpoint-0.msgpack")
+        payload = load_checkpoint_file(path)
+        enc = payload["state_dict"][f"{modality}_encoder"]
+        assert "mask_token" not in enc
+        assert "alignment_head" in enc
+
+    # the wsi split loads into a classifier (pretrain -> downstream transfer)
+    clf = create_model(
+        "mirror_classifier", wsi_embed_dim=16, rna_embed_dim=32, embed_dim=24,
+        num_classes=3, rna_mlp_ratio=2.0,
+    )
+    crngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    cparams = clf.init(crngs, jnp.ones((2, 8, 16)), jnp.ones((2, 32)), True)["params"]
+    merged = load_pretrained(cparams, str(tmp_path / "wsi_checkpoint-0.msgpack"))
+    np.testing.assert_array_equal(
+        np.asarray(merged["wsi_encoder"]["fc1"]["kernel"]),
+        np.asarray(params["wsi_encoder"]["fc1"]["kernel"]),
+    )
+
+
+def test_split_subtypes(cohort, tmp_path):
+    import pandas as pd
+
+    from mirror_tpu.tools.split_subtypes import split_subtypes
+
+    # build a clinical csv assigning alternating codes
+    files = sorted(os.listdir(cohort["feature_dir"]))
+    samples = [f.split(".")[0][:15] for f in files]
+    clinical = pd.DataFrame({
+        "Sample ID": samples,
+        "Oncotree Code": ["IDC" if i % 2 == 0 else "ILC" for i in range(len(samples))],
+    })
+    csv = str(tmp_path / "clinical.csv")
+    clinical.to_csv(csv, index=False)
+    out = str(tmp_path / "byclass")
+    split_subtypes(cohort["feature_dir"], csv, out)
+    assert set(os.listdir(out)) == {"IDC", "ILC"}
+    n = sum(len(os.listdir(os.path.join(out, c))) for c in ("IDC", "ILC"))
+    assert n == len(files)
+    # symlinks resolve
+    some = os.path.join(out, "IDC", os.listdir(os.path.join(out, "IDC"))[0])
+    assert os.path.exists(os.path.realpath(some))
+
+
+def test_gen_few_shot(cohort, tmp_path):
+    import pandas as pd
+
+    from mirror_tpu.data import SubtypingDataset
+    from mirror_tpu.tools.gen_few_shot_files import gen_few_shot
+
+    ds = SubtypingDataset(
+        cohort["subtype_feature_dir"], cohort["rna_csv"], cohort["classes"],
+        num_wsi_feature_tokens=16, splits=cohort["splits_dir"],
+    )
+    out = str(tmp_path / "fewshot")
+    gen_few_shot(ds, "subtyping", out, shots=[2], k=2, num_tokens=16,
+                 class_name="tcga_test")
+    df = pd.read_csv(
+        os.path.join(out, "subtyping", "2foldcv", "2-shot", "tcga_test",
+                     "splits_0.csv"),
+        index_col=0,
+    )
+    support = df["train"].dropna()
+    assert len(support) == 2 * 2  # 2 shots x 2 classes
+    assert all(len(s) == 12 for s in support)
+
+
+def test_gen_patch_on_synthetic_image(tmp_path):
+    import cv2
+
+    from mirror_tpu.tools.gen_patch import process_slide
+
+    # tissue-like image: saturated blob on white background
+    img = np.full((300, 400, 3), 255, np.uint8)
+    cv2.circle(img, (150, 150), 100, (180, 60, 160), -1)
+    slide = str(tmp_path / "slide1.png")
+    cv2.imwrite(slide, img)
+    out = str(tmp_path / "patches")
+    n = process_slide(slide, out, patch_size=64)
+    files = os.listdir(os.path.join(out, "slide1"))
+    assert n == len(files) > 0
+    # foreground filtering kept fewer than all patches (white bg dropped)
+    assert n < (320 // 64) * (448 // 64)
+    # patch naming r_c.jpeg
+    assert all(f.endswith(".jpeg") and "_" in f for f in files)
+
+
+def test_vit_matches_hf_transformers():
+    """Our flax ViT-B/16 with converted weights must match HF ViTModel's CLS
+    output on the same input (random-init HF model, no network needed)."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    import jax
+    import jax.numpy as jnp
+
+    from mirror_tpu.models.feature_extractors import ViTB16, load_hf_vit_weights
+
+    cfg = ViTConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, image_size=224, patch_size=16,
+    )
+    with torch.no_grad():
+        hf = ViTModel(cfg, add_pooling_layer=False).eval()
+        x = torch.randn(2, 3, 224, 224)
+        want = hf(x).last_hidden_state[:, 0].numpy()
+
+    model = ViTB16(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))["params"]
+    params = load_hf_vit_weights(params, hf.state_dict())
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet50_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from mirror_tpu.models.feature_extractors import TruncatedResNet50
+
+    model = TruncatedResNet50(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    out = model.apply(variables, jnp.ones((2, 224, 224, 3)))
+    assert out.shape == (2, 1024)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_feature_pipeline_end_to_end(tmp_path):
+    """Tiling output -> gen_patch_feature -> per-slide [n, D] features."""
+    import cv2
+
+    from mirror_tpu.tools.gen_patch import process_slide
+    from mirror_tpu.tools.gen_patch_feature import extract_features
+
+    rng = np.random.default_rng(0)
+    slide_dir = tmp_path / "slides"
+    slide_dir.mkdir()
+    img = np.full((256, 256, 3), 255, np.uint8)
+    cv2.circle(img, (128, 128), 90, (170, 80, 150), -1)
+    cv2.imwrite(str(slide_dir / "s1.png"), img)
+    patches = str(tmp_path / "patches")
+    n = process_slide(str(slide_dir / "s1.png"), patches, patch_size=64)
+
+    out = str(tmp_path / "features")
+    stats = extract_features(
+        patches, out, model_name="custom_resnet50", batch_size=4,
+        num_threads=2, fmt="npy",
+    )
+    feats = np.load(os.path.join(out, "s1.npy"))
+    assert feats.shape == (n, 1024)
+    assert stats["patches"] == n
