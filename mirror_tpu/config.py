@@ -117,6 +117,8 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--log-wandb", action="store_true", default=False)
     g.add_argument("--wandb-project", type=str, default="MIRROR")
     g.add_argument("--synchronize-step", action="store_true", default=False)
+    g.add_argument("--profile", action="store_true", default=False,
+                   help="write a jax.profiler trace of one epoch to the run dir")
 
 
 _TASK_SPECIFIC = {

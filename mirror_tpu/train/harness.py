@@ -146,6 +146,20 @@ class TrainHarness:
 
         return {k: m.avg for k, m in meters.items()}
 
+    def _init_wandb(self):
+        if not getattr(self.args, "log_wandb", False):
+            return None
+        try:
+            import wandb
+        except ImportError:
+            _logger.warning("wandb requested but not installed; skipping")
+            return None
+        return wandb.init(
+            project=getattr(self.args, "wandb_project", "MIRROR"),
+            name=os.path.basename(self.out_dir) if self.out_dir else None,
+            config=vars(self.args),
+        )
+
     def run(self) -> Dict[str, float]:
         args = self.args
         best_metric, best_epoch = None, None
@@ -153,9 +167,21 @@ class TrainHarness:
         summary_path = (
             os.path.join(self.out_dir, "summary.csv") if self.out_dir else None
         )
+        wandb_run = self._init_wandb()
+        profile_dir = (
+            os.path.join(self.out_dir, "profile")
+            if self.out_dir and getattr(args, "profile", False)
+            else None
+        )
         for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
-            train_metrics = self.train_one_epoch(epoch)
+            if profile_dir and epoch == start_epoch + 1:
+                # trace the second epoch (first is compile-heavy)
+                with jax.profiler.trace(profile_dir):
+                    train_metrics = self.train_one_epoch(epoch)
+                _logger.info("profiler trace written to %s", profile_dir)
+            else:
+                train_metrics = self.train_one_epoch(epoch)
             eval_metrics = None
             if self.eval_fn is not None:
                 eval_metrics = self.eval_fn(self.state, epoch, self.rng)
@@ -164,11 +190,26 @@ class TrainHarness:
                     epoch,
                     " ".join(f"{k}: {v:.4f}" for k, v in eval_metrics.items()),
                 )
+                # validate the EMA shadow weights alongside, like the
+                # reference (train_mirror.py:1022-1037)
+                if self.state.ema_params is not None:
+                    ema_metrics = self.eval_fn(
+                        self.state.replace(params=self.state.ema_params),
+                        epoch, self.rng,
+                    )
+                    eval_metrics.update(
+                        {f"ema_{k}": v for k, v in ema_metrics.items()}
+                    )
             if summary_path:
                 update_summary(
                     epoch, train_metrics, eval_metrics, summary_path,
                     write_header=epoch == start_epoch,
                 )
+            if wandb_run is not None:
+                payload = {f"train_{k}": v for k, v in train_metrics.items()}
+                if eval_metrics:
+                    payload.update({f"eval_{k}": v for k, v in eval_metrics.items()})
+                wandb_run.log(payload, step=epoch)
             metric_source = eval_metrics or train_metrics
             metric_val = metric_source.get(self.eval_metric)
             if self.saver is not None and metric_val is not None:
@@ -190,6 +231,9 @@ class TrainHarness:
             "best_epoch": best_epoch,
             "metric_name": self.eval_metric,
         }
+        if wandb_run is not None:
+            wandb_run.summary.update(results)
+            wandb_run.finish()
         print(f"--result\n{json.dumps(results, indent=4)}")
         return results
 
