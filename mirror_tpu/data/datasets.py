@@ -94,6 +94,37 @@ class _BaseDataset:
                     load_feature_file(self._feature_path(slide))
                 )
 
+    def wsi_npy_path(self, idx: int) -> Optional[str]:
+        """Path to the sample's .npy feature file, or None when the cohort is
+        not .npy-backed (native fast path eligibility)."""
+        if self.cache:
+            return None
+        try:
+            path = self._feature_path(self.used_feature_ids[idx])
+        except FileNotFoundError:
+            return None
+        return path if path.endswith(".npy") else None
+
+    def get_meta(self, idx: int) -> dict:
+        """Everything __getitem__ returns except the 'wsi' tensor (for the
+        native batch-assembly fast path, which gathers wsi in C++)."""
+        return self._meta(self.used_feature_ids[idx])
+
+    def _build_rna_cache(self) -> None:
+        """Materialize RNA rows as float32 numpy up front: per-sample pandas
+        ``.loc`` extraction is ~6x slower than the native WSI gather and was
+        the measured host-side bottleneck."""
+        mat = self.rna_feature_df.to_numpy(dtype=np.float32)
+        self._rna_cache = {
+            sid: mat[i] for i, sid in enumerate(self.rna_feature_df.index)
+        }
+
+    def _rna(self, slide: str) -> np.ndarray:
+        return self._rna_cache[slide[:15]]
+
+    def _meta(self, slide: str) -> dict:
+        raise NotImplementedError
+
     def _load_wsi(self, slide: str, rng: Optional[np.random.Generator]) -> np.ndarray:
         if self.cache and slide in self._cache_store:
             feats = self._cache_store[slide]
@@ -130,6 +161,7 @@ class PretrainDataset(_BaseDataset):
             rna_feature_csv, header=0, index_col=0, sep=","
         ).fillna(0)
         self._filter_data()
+        self._build_rna_cache()
         if splits is not None:
             self.update_fold_nb(0)
         else:
@@ -159,11 +191,12 @@ class PretrainDataset(_BaseDataset):
     def rna_dim(self) -> int:
         return self.rna_feature_df.shape[1]
 
+    def _meta(self, slide: str) -> dict:
+        return {"rna": self._rna(slide)}
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         slide = self.used_feature_ids[idx]
-        wsi = self._load_wsi(slide, rng)
-        rna = self.rna_feature_df.loc[slide[:15]].to_numpy(dtype=np.float32)
-        return {"wsi": wsi, "rna": rna}
+        return {"wsi": self._load_wsi(slide, rng), **self._meta(slide)}
 
 
 class SubtypingDataset(_BaseDataset):
@@ -195,6 +228,7 @@ class SubtypingDataset(_BaseDataset):
             rna_feature_csv, header=0, index_col=0, sep=","
         ).fillna(0)
         self._filter_data()
+        self._build_rna_cache()
         if splits is not None:
             self.update_fold_nb(0)
         else:
@@ -224,16 +258,15 @@ class SubtypingDataset(_BaseDataset):
     def get_label(self, idx: int) -> int:
         return self.class_dict[self.used_feature_ids[idx]]
 
+    def _meta(self, slide: str) -> dict:
+        out = {"label": np.int32(self.class_dict[slide])}
+        if not self.wsi_feature_only:
+            out["rna"] = self._rna(slide)
+        return out
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         slide = self.used_feature_ids[idx]
-        label = self.class_dict[slide]
-        out = {
-            "wsi": self._load_wsi(slide, rng),
-            "label": np.int32(label),
-        }
-        if not self.wsi_feature_only:
-            out["rna"] = self.rna_feature_df.loc[slide[:15]].to_numpy(dtype=np.float32)
-        return out
+        return {"wsi": self._load_wsi(slide, rng), **self._meta(slide)}
 
 
 class SurvivalDataset(_BaseDataset):
@@ -271,6 +304,7 @@ class SurvivalDataset(_BaseDataset):
         ).fillna(0)
         self.survival_data = pd.read_csv(survival_csv, sep=",").fillna(0)
         self._filter_data()
+        self._build_rna_cache()
         self.num_classes: Optional[int] = None
         self._gen_disc_label()
         self.slide_cls_ids = [
@@ -395,15 +429,17 @@ class SurvivalDataset(_BaseDataset):
         assert len(rows) == 1, f"Multiple records exist for slide {slide}"
         return rows
 
-    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
-        slide = self.used_feature_ids[idx]
+    def _meta(self, slide: str) -> dict:
         row = self._surv_row(slide)
         out = {
-            "wsi": self._load_wsi(slide, rng),
             "label": np.int32(row["disc_label"].iloc[0]),
             "event_time": np.float32(row[self.label_column].iloc[0]),
             "censorship": np.int32(row["censorship"].iloc[0]),
         }
         if not self.wsi_feature_only:
-            out["rna"] = self.rna_feature_df.loc[slide[:15]].to_numpy(dtype=np.float32)
+            out["rna"] = self._rna(slide)
         return out
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        slide = self.used_feature_ids[idx]
+        return {"wsi": self._load_wsi(slide, rng), **self._meta(slide)}

@@ -40,6 +40,8 @@ class Loader:
         weighted: bool = False,
         seed: int = 42,
         prefetch: int = 2,
+        use_native: bool = True,
+        native_threads: int = 8,
     ) -> None:
         assert not (drop_last and pad_last)
         self.dataset = dataset
@@ -51,7 +53,18 @@ class Loader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.native_threads = native_threads
         self._weights = class_balanced_weights(dataset) if weighted else None
+        # C++ fast path: eligible when the cohort is .npy-backed and the
+        # native library builds (see mirror_tpu/data/native_loader.py)
+        self._native = False
+        if use_native and len(dataset) and hasattr(dataset, "wsi_npy_path"):
+            from . import native_loader
+
+            self._native = (
+                native_loader.available()
+                and dataset.wsi_npy_path(0) is not None
+            )
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -75,19 +88,44 @@ class Loader:
     def _make_batch(
         self, indices: np.ndarray, rng: np.random.Generator
     ) -> Dict[str, np.ndarray]:
-        items = [self.dataset.__getitem__(int(i), rng=rng) for i in indices]
-        batch = {
-            k: np.stack([it[k] for it in items]) for k in items[0]
-        }
-        valid = np.ones(len(items), dtype=np.float32)
-        if self.pad_last and len(items) < self.batch_size:
-            pad = self.batch_size - len(items)
+        if self._native:
+            batch = self._make_batch_native(indices, rng)
+        else:
+            items = [self.dataset.__getitem__(int(i), rng=rng) for i in indices]
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        n_items = len(indices)
+        valid = np.ones(n_items, dtype=np.float32)
+        if self.pad_last and n_items < self.batch_size:
+            pad = self.batch_size - n_items
             batch = {
                 k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                 for k, v in batch.items()
             }
             valid = np.concatenate([valid, np.zeros(pad, dtype=np.float32)])
         batch["valid"] = valid
+        return batch
+
+    def _make_batch_native(
+        self, indices: np.ndarray, rng: np.random.Generator
+    ) -> Dict[str, np.ndarray]:
+        from . import native_loader
+
+        paths = []
+        for i in indices:
+            p = self.dataset.wsi_npy_path(int(i))
+            if p is None:  # mixed-format cohort: bail to the numpy path
+                self._native = False
+                items = [self.dataset.__getitem__(int(j), rng=rng) for j in indices]
+                return {k: np.stack([it[k] for it in items]) for k in items[0]}
+            paths.append(p)
+        seeds = rng.integers(0, 2**63, size=len(paths), dtype=np.int64)
+        wsi = native_loader.gather_batch(
+            paths, self.dataset.num_wsi_feature_tokens, seeds.tolist(),
+            num_threads=self.native_threads,
+        )
+        metas = [self.dataset.get_meta(int(i)) for i in indices]
+        batch = {k: np.stack([m[k] for m in metas]) for k in metas[0]}
+        batch["wsi"] = wsi
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

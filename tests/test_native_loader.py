@@ -1,0 +1,101 @@
+"""Native C++ batch-assembly loader tests: build, correctness vs numpy,
+sampling semantics, error paths, and Loader integration."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mirror_tpu.data import Loader, PretrainDataset, make_synthetic_cohort
+from mirror_tpu.data import native_loader
+
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native loader did not build"
+)
+
+
+def _write_npy(tmp_path, name, arr):
+    p = str(tmp_path / name)
+    np.save(p, arr)
+    return p + ".npy" if not p.endswith(".npy") else p
+
+
+def test_npy_shape(tmp_path):
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = _write_npy(tmp_path, "a.npy", arr)
+    assert native_loader.npy_shape(p) == (3, 4)
+
+
+def test_gather_without_replacement_rows_are_real(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(50, 8)).astype(np.float32)
+    p = _write_npy(tmp_path, "b.npy", arr)
+    out = native_loader.gather_batch([p], n_tokens=20, seeds=[123])
+    assert out.shape == (1, 20, 8)
+    # every sampled row must be an actual row of the file, all distinct
+    rows = {tuple(r) for r in np.asarray(out[0])}
+    src = {tuple(r) for r in arr}
+    assert rows <= src
+    assert len(rows) == 20  # without replacement
+
+
+def test_gather_with_replacement_when_short(tmp_path):
+    arr = np.arange(3 * 4, dtype=np.float32).reshape(3, 4)
+    p = _write_npy(tmp_path, "c.npy", arr)
+    out = native_loader.gather_batch([p], n_tokens=10, seeds=[7])
+    assert out.shape == (1, 10, 4)
+    rows = {tuple(r) for r in np.asarray(out[0])}
+    assert rows <= {tuple(r) for r in arr}
+    assert len(rows) <= 3  # only 3 distinct rows exist
+
+
+def test_gather_batch_multifile_deterministic(tmp_path):
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(4):
+        arr = rng.normal(size=(30 + i, 6)).astype(np.float32)
+        paths.append(_write_npy(tmp_path, f"d{i}.npy", arr))
+    out1 = native_loader.gather_batch(paths, 16, seeds=[1, 2, 3, 4])
+    out2 = native_loader.gather_batch(paths, 16, seeds=[1, 2, 3, 4])
+    np.testing.assert_array_equal(out1, out2)  # same seeds -> same batch
+    out3 = native_loader.gather_batch(paths, 16, seeds=[5, 6, 7, 8])
+    assert not np.array_equal(out1, out3)
+
+
+def test_gather_errors(tmp_path):
+    with pytest.raises(ValueError):
+        native_loader.gather_batch(
+            [str(tmp_path / "missing.npy")], 4, seeds=[0], feature_dim=8
+        )
+    # wrong dtype rejected
+    bad = str(tmp_path / "bad.npy")
+    np.save(bad, np.zeros((4, 4), dtype=np.float64))
+    with pytest.raises(ValueError):
+        native_loader.gather_batch([bad], 2, seeds=[0], feature_dim=4)
+
+
+def test_loader_native_fast_path(tmp_path):
+    cohort = make_synthetic_cohort(
+        str(tmp_path / "c"), n_patients=8, feature_dim=16, rna_dim=32
+    )
+    ds = PretrainDataset(
+        cohort["feature_dir"], cohort["rna_csv"], num_wsi_feature_tokens=24,
+        splits=cohort["splits_dir"],
+    )
+    ds.train()
+    loader = Loader(ds, batch_size=4, drop_last=True, seed=5, prefetch=0)
+    assert loader._native  # .npy cohort -> fast path active
+    batches = list(loader)
+    assert batches[0]["wsi"].shape == (4, 24, 16)
+    assert batches[0]["rna"].shape == (4, 32)
+    assert np.all(np.isfinite(batches[0]["wsi"]))
+    # deterministic per epoch
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0]["wsi"], again[0]["wsi"])
+    # python path produces the same shapes
+    loader_py = Loader(ds, batch_size=4, drop_last=True, seed=5, prefetch=0,
+                       use_native=False)
+    pb = list(loader_py)
+    assert pb[0]["wsi"].shape == batches[0]["wsi"].shape
+    np.testing.assert_array_equal(pb[0]["rna"], batches[0]["rna"])
