@@ -35,12 +35,21 @@ from flax import linen as nn
 from .layers import dense
 
 
+import functools
+
+
+@functools.partial(jax.checkpoint, static_argnums=(1,))
 def moore_penrose_pinv(x: jax.Array, iters: int = 6) -> jax.Array:
     """Iterative Moore-Penrose pseudoinverse of [..., m, m] matrices.
 
     Matches the reference package: z0 = x^T / (max(col_sums) * max(row_sums))
     where both maxes are GLOBAL over the batch/head dims (a quirk of the
     original torch code that we reproduce).
+
+    The iteration is unrolled (static count) and rematerialized: a scanned
+    loop makes XLA stack per-iteration [iters, b, h, m, m] residuals for the
+    backward pass (~4 GB at batch 64), while recomputing the cheap m x m
+    iterations costs ~one extra forward.
     """
     abs_x = jnp.abs(x)
     col = jnp.sum(abs_x, axis=-1)  # row sums of |x| ("col" in the original)
@@ -49,11 +58,10 @@ def moore_penrose_pinv(x: jax.Array, iters: int = 6) -> jax.Array:
     m = x.shape[-1]
     eye = jnp.eye(m, dtype=x.dtype)
 
-    def body(_, z):
+    for _ in range(iters):
         xz = x @ z
-        return 0.25 * z @ (13.0 * eye - (xz @ (15.0 * eye - (xz @ (7.0 * eye - xz)))))
-
-    return jax.lax.fori_loop(0, iters, body, z)
+        z = 0.25 * z @ (13.0 * eye - (xz @ (15.0 * eye - (xz @ (7.0 * eye - xz)))))
+    return z
 
 
 class NystromAttention(nn.Module):
