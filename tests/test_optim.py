@@ -1,0 +1,188 @@
+"""Optimizer factory, LR schedules, grad accumulation, linear-probe freezing,
+and functionalized train-step invariants (prototype renorm, logit clamp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from mirror_tpu.train.optim import make_optimizer, make_schedule
+from mirror_tpu.train.state import create_train_state
+from mirror_tpu.train.steps import (
+    clamp_logit_scale,
+    make_mirror_train_step,
+    renorm_prototypes,
+    smoothed_xent,
+)
+
+
+class Args:
+    opt = "adam"
+    opt_eps = None
+    opt_betas = None
+    momentum = 0.9
+    weight_decay = 0.0
+    clip_grad = None
+    clip_mode = "norm"
+    opt_kwargs = {}
+    use_sched = False
+    sched = "cosine"
+    sched_on_updates = False
+    lr = 1e-3
+    warmup_lr = 1e-5
+    min_lr = 1e-6
+    epochs = 10
+    warmup_epochs = 2
+    warmup_prefix = False
+    decay_epochs = 3
+    decay_rate = 0.1
+    decay_milestones = (4, 8)
+    grad_accum_steps = 1
+    patience_epochs = 10
+    cooldown_epochs = 0
+
+
+def test_constant_schedule_default():
+    sched = make_schedule(Args, steps_per_epoch=10, base_lr=2e-5)
+    assert float(sched(jnp.int32(0))) == pytest.approx(2e-5)
+    assert float(sched(jnp.int32(999))) == pytest.approx(2e-5)
+
+
+def test_cosine_schedule_warmup_and_decay():
+    a = Args()
+    a.use_sched = True
+    sched = make_schedule(a, steps_per_epoch=10, base_lr=1e-3)
+    # warmup at epoch boundary granularity
+    lr0 = float(sched(jnp.int32(0)))
+    lr_mid_warm = float(sched(jnp.int32(10)))  # epoch 1
+    lr_peak = float(sched(jnp.int32(20)))  # epoch 2 (warmup done)
+    assert lr0 == pytest.approx(1e-5, rel=1e-3)
+    assert lr0 < lr_mid_warm < lr_peak
+    # decays toward min_lr by the end
+    lr_end = float(sched(jnp.int32(10 * 10 - 1)))
+    assert lr_end < lr_peak
+    assert lr_end >= a.min_lr - 1e-12
+
+
+def test_step_and_multistep_schedules():
+    a = Args()
+    a.use_sched = True
+    a.sched = "step"
+    sched = make_schedule(a, steps_per_epoch=1, base_lr=1.0)
+    assert float(sched(jnp.int32(0))) == pytest.approx(1.0)
+    assert float(sched(jnp.int32(3))) == pytest.approx(0.1)
+    a2 = Args()
+    a2.use_sched = True
+    a2.sched = "multistep"
+    sched2 = make_schedule(a2, steps_per_epoch=1, base_lr=1.0)
+    assert float(sched2(jnp.int32(3))) == pytest.approx(1.0)
+    assert float(sched2(jnp.int32(4))) == pytest.approx(0.1)
+    assert float(sched2(jnp.int32(8))) == pytest.approx(0.01)
+
+
+def test_adam_matches_optax_reference():
+    a = Args()
+    sched = make_schedule(a, 10, a.lr)
+    tx = make_optimizer(a, sched)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    grads = {"w": jnp.array([1.0, -2.0, 0.5])}
+    updates, _ = tx.update(grads, state, params)
+    ref = optax.adam(a.lr)
+    ref_updates, _ = ref.update(grads, ref.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]), np.asarray(ref_updates["w"]), rtol=1e-6
+    )
+
+
+def test_weight_decay_skips_1d_params():
+    a = Args()
+    a.opt = "adamw"
+    a.weight_decay = 0.1
+    sched = make_schedule(a, 10, a.lr)
+    tx = make_optimizer(a, sched)
+    params = {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))}
+    state = tx.init(params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, state, params)
+    # kernel decays, bias untouched
+    assert float(jnp.abs(updates["kernel"]).sum()) > 0
+    assert float(jnp.abs(updates["bias"]).sum()) == 0
+
+
+def test_grad_clipping():
+    a = Args()
+    a.clip_grad = 1.0
+    sched = make_schedule(a, 10, 1.0)
+    tx = make_optimizer(a, sched)
+    params = {"w": jnp.zeros((4,))}
+    big = {"w": jnp.full((4,), 100.0)}
+    updates, _ = tx.update(big, tx.init(params), params)
+    # global norm clipped to 1 then adam-normalized; must be finite and small
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+def test_grad_accumulation_matches_large_batch():
+    a = Args()
+    a.grad_accum_steps = 2
+    sched = make_schedule(a, 10, a.lr)
+    tx = make_optimizer(a, sched)
+    params = {"w": jnp.array([1.0, 2.0])}
+    state = tx.init(params)
+    g1 = {"w": jnp.array([1.0, 0.0])}
+    g2 = {"w": jnp.array([0.0, 1.0])}
+    u1, state = tx.update(g1, state, params)
+    assert float(jnp.abs(u1["w"]).sum()) == 0  # no update mid-accumulation
+    u2, state = tx.update(g2, state, params)
+    assert float(jnp.abs(u2["w"]).sum()) > 0
+
+    # equals a single update with the mean gradient
+    a2 = Args()
+    tx2 = make_optimizer(a2, make_schedule(a2, 10, a2.lr))
+    mean_g = {"w": jnp.array([0.5, 0.5])}
+    u_ref, _ = tx2.update(mean_g, tx2.init(params), params)
+    np.testing.assert_allclose(np.asarray(u2["w"]), np.asarray(u_ref["w"]), rtol=1e-6)
+
+
+def test_linear_probe_freezes_everything_but_head():
+    a = Args()
+    sched = make_schedule(a, 10, a.lr)
+    params = {"head": {"kernel": jnp.ones((2, 2))}, "enc": {"kernel": jnp.ones((2, 2))}}
+    mask = {"head": {"kernel": True}, "enc": {"kernel": False}}
+    tx = make_optimizer(a, sched, trainable_mask=mask)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.abs(updates["head"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(updates["enc"]["kernel"]).sum()) == 0
+
+
+def test_prototype_renorm_and_logit_clamp():
+    params = {
+        "prototypes": {"kernel": jnp.array([[3.0, 0.0], [4.0, 10.0]])},
+        "logit_scale": jnp.float32(9.9),
+    }
+    out = renorm_prototypes(params)
+    norms = np.linalg.norm(np.asarray(out["prototypes"]["kernel"]), axis=0)
+    np.testing.assert_allclose(norms, [1.0, 1.0], rtol=1e-6)
+    clamped = clamp_logit_scale(params)
+    assert float(clamped["logit_scale"]) == pytest.approx(np.log(100.0))
+    low = clamp_logit_scale({"logit_scale": jnp.float32(-1.0)})
+    assert float(low["logit_scale"]) == 0.0
+
+
+def test_smoothed_xent_matches_torch_semantics():
+    logits = jnp.array([[2.0, 0.5, -1.0], [0.0, 1.0, 0.0]])
+    labels = jnp.array([0, 2])
+    # smoothing=0: plain CE
+    plain = float(smoothed_xent(logits, labels, 0.0))
+    logp = np.log(
+        np.exp(np.asarray(logits)) / np.exp(np.asarray(logits)).sum(1, keepdims=True)
+    )
+    want = -(logp[0, 0] + logp[1, 2]) / 2
+    assert plain == pytest.approx(want, rel=1e-5)
+    # smoothing mixes in the uniform term
+    sm = float(smoothed_xent(logits, labels, 0.1))
+    uni = -logp.mean(1)
+    want_sm = np.mean(0.9 * np.array([-logp[0, 0], -logp[1, 2]]) + 0.1 * uni)
+    assert sm == pytest.approx(want_sm, rel=1e-5)
