@@ -1,0 +1,170 @@
+"""Context-parallel (sequence-parallel) Nystrom attention.
+
+A new TPU capability beyond the reference: the reference *avoids* long WSI
+sequences by subsampling 2048 patch tokens per slide
+(datasets/dataset_pretrain.py:157-161) because a GPU must hold the whole
+sequence. Here the patch-token axis is sharded across chips so a whole slide
+(tens of thousands of patches) can be encoded with no subsampling
+(SURVEY.md section 5.7).
+
+Nystrom attention decomposes cleanly under token sharding:
+
+- qkv / output projections are pointwise over tokens -> local;
+- landmarks are means over contiguous token groups; with ``m % P == 0``
+  each chip reduces its own groups and one small all_gather ([m, dh] per
+  head) replicates them — this rides ICI, not the full sequence;
+- ``attn3 @ v`` is a row softmax over the FULL sequence: computed flash-
+  style with a global max (pmax) and sum/value psum over the axis — exact,
+  not approximate;
+- ``attn2`` and its Moore-Penrose pseudo-inverse involve only landmarks ->
+  replicated compute;
+- ``attn1 @ (pinv @ r3)`` is row-local (softmax over the m landmarks);
+- the depthwise value-conv residual (kernel 33 along the sequence) needs a
+  16-token halo exchange with ring neighbors (ppermute).
+
+``nystrom_attention_cp`` computes the attention core for token-sharded
+q/k/v inside ``shard_map``; ``NystromAttention`` params are reused as-is.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mirror_tpu.models.nystrom import moore_penrose_pinv
+
+
+def _halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Concatenate each chip's sequence block with `halo` tokens from its
+    ring neighbors (zeros at the global edges). x: [n_loc, ...]."""
+    axis_size = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    # our left halo is the PREVIOUS chip's tail; the right halo is the NEXT
+    # chip's head; global edges are zero-padded like torch Conv2d padding
+    prev_tail = jax.lax.ppermute(
+        x[-halo:], axis_name,
+        [(i, (i + 1) % axis_size) for i in range(axis_size)],
+    )
+    next_head = jax.lax.ppermute(
+        x[:halo], axis_name,
+        [(i, (i - 1) % axis_size) for i in range(axis_size)],
+    )
+    zeros = jnp.zeros_like(prev_tail)
+    left = jnp.where(idx == 0, zeros, prev_tail)
+    right = jnp.where(idx == axis_size - 1, zeros, next_head)
+    return jnp.concatenate([left, x, right], axis=0)
+
+
+def _cp_core(q, k, v, res_kernel, num_landmarks, pinv_iterations, axis_name):
+    """Per-shard Nystrom attention core. q/k/v: [n_loc, h, dh] token-sharded;
+    returns [n_loc, h, dh]. q must already be scaled by dh**-0.5."""
+    n_loc, h, dh = q.shape
+    p_size = jax.lax.psum(1, axis_name)
+    m = num_landmarks
+    m_loc = m // p_size
+    l = n_loc // m_loc  # tokens per landmark group
+
+    # local landmark means, then replicate via all_gather (tiny: [m, h, dh])
+    q_l_loc = jnp.mean(q.reshape(m_loc, l, h, dh), axis=1)
+    k_l_loc = jnp.mean(k.reshape(m_loc, l, h, dh), axis=1)
+    q_l = jax.lax.all_gather(q_l_loc, axis_name, tiled=True)  # [m, h, dh]
+    k_l = jax.lax.all_gather(k_l_loc, axis_name, tiled=True)
+
+    # attn2^+ : replicated landmark-only compute
+    sim2 = jnp.einsum("ihd,jhd->hij", q_l, k_l, preferred_element_type=jnp.float32)
+    attn2 = jax.nn.softmax(sim2, axis=-1).astype(q.dtype)
+    attn2_inv = moore_penrose_pinv(attn2, pinv_iterations)
+
+    # r3 = softmax(q_l k^T over the FULL n) @ v  — distributed exact softmax
+    sim3 = jnp.einsum("ihd,jhd->hij", q_l, k, preferred_element_type=jnp.float32)
+    gmax = jax.lax.pmax(jnp.max(sim3, axis=-1), axis_name)  # [h, m]
+    e = jnp.exp(sim3 - gmax[..., None])
+    denom = jax.lax.psum(jnp.sum(e, axis=-1), axis_name)  # [h, m]
+    numer = jax.lax.psum(
+        jnp.einsum("hij,jhd->hid", e.astype(v.dtype), v), axis_name
+    )  # [h, m, dh]
+    r3 = numer / denom[..., None].astype(v.dtype)
+
+    w = attn2_inv @ r3  # [h, m, dh]
+
+    # attn1: softmax over landmarks (local rows)
+    sim1 = jnp.einsum("ihd,jhd->hij", q, k_l, preferred_element_type=jnp.float32)
+    attn1 = jax.nn.softmax(sim1, axis=-1).astype(w.dtype)
+    out = jnp.einsum("hij,hjd->ihd", attn1, w)  # [n_loc, h, dh]
+
+    # depthwise conv residual with ring halo exchange
+    K = res_kernel.shape[2]
+    halo = K // 2
+    v_ext = _halo_exchange(v, halo, axis_name)  # [n_loc + 2*halo, h, dh]
+    res = jax.lax.conv_general_dilated(
+        v_ext[None].transpose(0, 2, 1, 3).astype(jnp.float32),  # [1,h,n+2halo,dh]
+        res_kernel.astype(jnp.float32),
+        (1, 1), ((0, 0), (0, 0)),  # VALID: halos supply the context
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=h,
+    )[0].transpose(1, 0, 2).astype(out.dtype)
+    return out + res
+
+
+def nystrom_attention_cp(
+    x: jax.Array,
+    params: dict,
+    mesh: Mesh,
+    axis_name: str = "data",
+    dim_head: Optional[int] = None,
+    heads: int = 8,
+    num_landmarks: int = 256,
+    pinv_iterations: int = 6,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Context-parallel NystromAttention forward for ONE long sequence.
+
+    x: [n, dim] patch tokens (n padded by the caller to a multiple of
+    num_landmarks * axis_size); ``params`` is a NystromAttention param dict
+    (to_qkv/to_out/res_conv_kernel). Dropout-free (inference / whole-slide
+    encoding path).
+    """
+    n, d = x.shape
+    p_size = mesh.shape[axis_name]
+    dim_head = dim_head or d // heads
+    inner = heads * dim_head
+    assert n % (num_landmarks * p_size) == 0, (
+        f"sequence {n} must be a multiple of landmarks*chips "
+        f"({num_landmarks}*{p_size})"
+    )
+    assert num_landmarks % p_size == 0
+
+    qkv_kernel = params["to_qkv"]["kernel"].astype(dtype)
+    out_kernel = params["to_out"]["kernel"].astype(dtype)
+    out_bias = params["to_out"]["bias"].astype(dtype)
+    res_kernel = params["res_conv_kernel"]
+    scale = dim_head**-0.5
+
+    def shard_fn(x_loc):
+        qkv = x_loc.astype(dtype) @ qkv_kernel  # [n_loc, 3*inner]
+        n_loc = qkv.shape[0]
+        q = qkv[:, :inner].reshape(n_loc, heads, dim_head) * scale
+        k = qkv[:, inner : 2 * inner].reshape(n_loc, heads, dim_head)
+        v = qkv[:, 2 * inner :].reshape(n_loc, heads, dim_head)
+        out = _cp_core(
+            q, k, v, res_kernel, num_landmarks, pinv_iterations, axis_name
+        )
+        out = out.reshape(n_loc, inner) @ out_kernel + out_bias
+        return out
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+    return fn(x)
