@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import dense
+from .layers import dense, torch_default_init
 
 
 import functools
@@ -64,6 +64,35 @@ def moore_penrose_pinv(x: jax.Array, iters: int = 6) -> jax.Array:
     return z
 
 
+class _QKVProjection(nn.Module):
+    """qkv projection whose param path matches nn.Dense ("to_qkv"/"kernel")
+    but can emit head-major [b, h, n, dh] tensors straight from the einsum —
+    letting XLA fold the relayout into the GEMM output instead of
+    materializing [b, n, h, dh] -> [b, h, n, dh] copies."""
+
+    heads: int
+    dim_head: int
+    kernel_init: callable
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, head_major: bool):
+        b, n, d = x.shape
+        inner = self.heads * self.dim_head
+        kernel = self.param("kernel", self.kernel_init, (d, 3 * inner), jnp.float32)
+        cdt = self.dtype or jnp.float32
+        x = x.astype(cdt)
+        if head_major:
+            w = kernel.reshape(d, 3, self.heads, self.dim_head).astype(cdt)
+            qkv = jnp.einsum("bnd,dthe->tbhne", x, w)
+            return qkv[0], qkv[1], qkv[2]  # each [b, h, n, dh]
+        qkv = x @ kernel.astype(cdt)
+        q = qkv[..., :inner].reshape(b, n, self.heads, self.dim_head)
+        k = qkv[..., inner : 2 * inner].reshape(b, n, self.heads, self.dim_head)
+        v = qkv[..., 2 * inner :].reshape(b, n, self.heads, self.dim_head)
+        return q, k, v
+
+
 class NystromAttention(nn.Module):
     dim: int
     dim_head: int = 64
@@ -77,6 +106,18 @@ class NystromAttention(nn.Module):
     use_pallas: bool = False
     xavier_init: bool = False  # hybrid WSI encoder xavier-inits all Linears
     dtype: Optional[jnp.dtype] = None
+
+    def _res_kernel(self, h: int):
+        return self.param(
+            "res_conv_kernel",
+            # torch conv default init with fan_in = (in_ch/groups)*K*1 = K
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32,
+                -1.0 / jnp.sqrt(float(self.residual_conv_kernel)),
+                1.0 / jnp.sqrt(float(self.residual_conv_kernel)),
+            ),
+            (h, 1, self.residual_conv_kernel, 1),
+        )
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -95,27 +136,34 @@ class NystromAttention(nn.Module):
         if padding > 0:
             x = jnp.pad(x, ((0, 0), (padding, 0), (0, 0)))  # front-pad
 
-        qkv = dense(
-            inner * 3, d, use_bias=False, kernel_init=kernel_init, name="to_qkv",
-            dtype=self.dtype,
-        )(x)
-        # stay in [b, n, h, dh]; head-major transposes live inside einsums
-        q = qkv[..., :inner].reshape(b, n_pad, h, dh) * scale
-        k = qkv[..., inner : 2 * inner].reshape(b, n_pad, h, dh)
-        v = qkv[..., 2 * inner :].reshape(b, n_pad, h, dh)
-
-        # landmarks: mean over contiguous groups of l tokens
         l = n_pad // m
-        q_l = jnp.mean(q.reshape(b, m, l, h, dh), axis=2)
-        k_l = jnp.mean(k.reshape(b, m, l, h, dh), axis=2)
+        proj = _QKVProjection(
+            heads=h, dim_head=dh,
+            kernel_init=kernel_init or torch_default_init,
+            dtype=self.dtype, name="to_qkv",
+        )
+        if self.use_pallas:
+            # head-major q/k/v straight out of the projection einsum: the
+            # [b,n,h,dh] -> [b,h,n,dh] relayout folds into the GEMM output
+            # (explicit transposes were 22% of encoder time in the profile)
+            q, k, v = proj(x, head_major=True)
+            q = q * scale
+            q_l = jnp.mean(q.reshape(b, h, m, l, dh), axis=3)
+            k_l = jnp.mean(k.reshape(b, h, m, l, dh), axis=3)
+        else:
+            q, k, v = proj(x, head_major=False)  # each [b, n, h, dh]
+            q = q * scale
+            q_l = jnp.mean(q.reshape(b, m, l, h, dh), axis=2)
+            k_l = jnp.mean(k.reshape(b, m, l, h, dh), axis=2)
 
         # attn2^+ : [b, h, m, m] — small; stays in XLA for the global-max
         # scaling quirk of the reference pinv. The iteration runs in the
         # compute dtype: under AMP the torch reference's pinv matmuls are
         # fp16 (autocast), so bf16 here is the faithful (and 4x faster on
         # the MXU) equivalent; fp32 mode keeps it fp32.
+        landmark_eq = "bhid,bhjd->bhij" if self.use_pallas else "bihd,bjhd->bhij"
         sim2 = jnp.einsum(
-            "bihd,bjhd->bhij", q_l, k_l, preferred_element_type=jnp.float32
+            landmark_eq, q_l, k_l, preferred_element_type=jnp.float32
         )
         attn2 = jax.nn.softmax(sim2, axis=-1)
         attn2 = attn2.astype(self.dtype or jnp.float32)
@@ -127,18 +175,24 @@ class NystromAttention(nn.Module):
                 softmax_matmul_landmark_kv,
             )
 
-            # kernels take head-major [b, h, n, dh]; XLA folds these
-            # transposes into the producing matmuls' output layouts
-            q_hm = q.transpose(0, 2, 1, 3)
-            k_hm = k.transpose(0, 2, 1, 3)
-            v_hm = v.transpose(0, 2, 1, 3)
-            ql_hm = q_l.transpose(0, 2, 1, 3)
-            kl_hm = k_l.transpose(0, 2, 1, 3)
+            # everything already head-major [b, h, n, dh]
             # r3 = softmax(q_l k^T) v : [b, h, m, dh]
-            r3 = softmax_matmul_landmark_kv(ql_hm, k_hm, v_hm)
+            r3 = softmax_matmul_landmark_kv(q_l, k, v)
             w = attn2_inv @ r3  # [b, h, m, dh], compute dtype
-            out = softmax_matmul_landmark_q(q_hm, kl_hm, w.astype(q.dtype))
-            out = out.transpose(0, 2, 1, 3).astype(x.dtype)  # back to [b,n,h,dh]
+            out_hm = softmax_matmul_landmark_q(q, k_l, w.astype(q.dtype))
+            if self.residual:
+                res_kernel = self._res_kernel(h)
+                # depthwise conv along n directly on the head-major value
+                res = jax.lax.conv_general_dilated(
+                    v.astype(jnp.float32),
+                    res_kernel.astype(jnp.float32),
+                    window_strides=(1, 1),
+                    padding=((self.residual_conv_kernel // 2,) * 2, (0, 0)),
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                    feature_group_count=h,
+                ).astype(out_hm.dtype)
+                out_hm = out_hm + res
+            out = out_hm.transpose(0, 2, 1, 3).astype(x.dtype)  # [b,n,h,dh]
         else:
             cdt = self.dtype or jnp.float32
             sim1 = jnp.einsum(
@@ -156,22 +210,13 @@ class NystromAttention(nn.Module):
             out = jnp.einsum("bhij,bhjd->bihd", attn1, w)  # [b,n,h,dh]
             out = out.astype(x.dtype)
 
-        if self.residual:
+        if self.residual and not self.use_pallas:
             # torch Conv2d(heads, heads, (K, 1), padding=(K//2, 0),
             # groups=heads, bias=False) over [b, h, n, dh]: a depthwise conv
             # along the sequence axis, one kernel per head, shared across dh.
             # Expressed on the [b, n, h, dh] layout as an NHWC conv with
             # spatial dims (n, dh) and channel = h.
-            kernel = self.param(
-                "res_conv_kernel",
-                # torch conv default init with fan_in = (in_ch/groups)*K*1 = K
-                lambda key, shape: jax.random.uniform(
-                    key, shape, jnp.float32,
-                    -1.0 / jnp.sqrt(float(self.residual_conv_kernel)),
-                    1.0 / jnp.sqrt(float(self.residual_conv_kernel)),
-                ),
-                (h, 1, self.residual_conv_kernel, 1),
-            )
+            kernel = self._res_kernel(h)
             # NHWC: input [b, n, dh, h], kernel HWIO [K, 1, 1, h] (grouped)
             res = jax.lax.conv_general_dilated(
                 v.transpose(0, 1, 3, 2).astype(jnp.float32),

@@ -239,7 +239,14 @@ class TrainHarness:
 
 
 def common_setup(args, task: str):
-    """Logging, seeding, mesh. Returns (root_rng, mesh, out_dir)."""
+    """Logging, seeding, mesh. Returns (root_rng, mesh, out_dir).
+
+    MIRROR_PLATFORM=cpu|tpu forces the JAX backend — needed because the axon
+    TPU plugin ignores the JAX_PLATFORMS env var (launchers use this to pin
+    subprocess jobs)."""
+    forced = os.environ.get("MIRROR_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
     setup_default_logging()
     from mirror_tpu.utils import random_seed
 
