@@ -17,7 +17,7 @@ like the reference (train_mirror.py:203,319,511).
 import argparse
 import ast
 import logging
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import yaml
 

@@ -17,7 +17,7 @@ SPMD input feeding:
 
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -16,7 +16,7 @@ expect (SURVEY.md section 4):
 
 import os
 import string
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -19,8 +19,6 @@ pseudo-inverse stays in XLA to preserve the reference's global-max scaling
 (see models/nystrom.py docstring).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

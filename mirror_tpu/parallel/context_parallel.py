@@ -26,12 +26,10 @@ Nystrom attention decomposes cleanly under token sharding:
 q/k/v inside ``shard_map``; ``NystromAttention`` params are reused as-is.
 """
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mirror_tpu.models.nystrom import moore_penrose_pinv

@@ -19,7 +19,6 @@ import argparse
 import logging
 import os
 
-import numpy as np
 import pandas as pd
 
 logging.basicConfig(level=logging.INFO)

@@ -30,7 +30,7 @@ import os
 import queue
 import threading
 import time
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

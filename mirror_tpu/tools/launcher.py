@@ -17,7 +17,7 @@ import subprocess
 import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 _logger = logging.getLogger("launcher")
 

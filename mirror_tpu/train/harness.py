@@ -27,7 +27,7 @@ from typing import Callable, Dict, Optional
 import jax
 import numpy as np
 
-from mirror_tpu.parallel import create_mesh, replicate, shard_batch
+from mirror_tpu.parallel import create_mesh, shard_batch
 from mirror_tpu.utils import AverageMeter, setup_default_logging
 
 _logger = logging.getLogger("train")

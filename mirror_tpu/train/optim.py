@@ -15,7 +15,7 @@ Replicates the subset of timm's ``create_optimizer_v2`` /
 """
 
 import logging
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ import logging
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mirror_tpu.config import parse_args, resolve_lr
 from mirror_tpu.data import Loader, PretrainDataset
