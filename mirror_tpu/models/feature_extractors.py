@@ -30,20 +30,43 @@ from flax import linen as nn
 
 class ViTSelfAttention(nn.Module):
     num_heads: int = 12
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, n, d = x.shape
         head_dim = d // self.num_heads
+        scale = head_dim**-0.5
 
         def proj(name):
             return nn.Dense(d, name=name, dtype=self.dtype, param_dtype=jnp.float32)
 
+        if self.use_pallas:
+            # the fused Nystrom softmax-matmul kernel IS standard attention
+            # when W == V: softmax(q k^T) v computed per (batch, head) in
+            # VMEM, never materializing [n, n] in HBM.
+            # Measured on v5e (B=512): 2087 patches/s fused vs 2477 dense —
+            # at 197 tokens the [n, n] matrix is tiny and XLA's batched
+            # attention wins; the per-(batch, head) grid overhead dominates.
+            # Default stays False; the flag exists for long-sequence ViTs
+            # (larger inputs / smaller patches) where fusion pays off.
+            from mirror_tpu.ops.nystrom_pallas import fused_softmax_attn
+
+            q = proj("query")(x).reshape(b, n, self.num_heads, head_dim)
+            k = proj("key")(x).reshape(b, n, self.num_heads, head_dim)
+            v = proj("value")(x).reshape(b, n, self.num_heads, head_dim)
+            q = q.transpose(0, 2, 1, 3) * scale  # [b, h, n, dh]
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            out = fused_softmax_attn(q, k, v)  # [b, h, n, dh]
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, d).astype(x.dtype)
+            return proj("output")(out)
+
         q = proj("query")(x).reshape(b, n, self.num_heads, head_dim)
         k = proj("key")(x).reshape(b, n, self.num_heads, head_dim)
         v = proj("value")(x).reshape(b, n, self.num_heads, head_dim)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim**-0.5)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
         return proj("output")(out)
@@ -53,6 +76,7 @@ class ViTBlock(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-12
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -64,9 +88,10 @@ class ViTBlock(nn.Module):
             )
 
         d = x.shape[-1]
-        x = x + ViTSelfAttention(self.num_heads, dtype=self.dtype, name="attention")(
-            ln("layernorm_before")(x)
-        )
+        x = x + ViTSelfAttention(
+            self.num_heads, use_pallas=self.use_pallas, dtype=self.dtype,
+            name="attention",
+        )(ln("layernorm_before")(x))
         y = ln("layernorm_after")(x)
         y = nn.Dense(
             int(d * self.mlp_ratio), name="intermediate", dtype=self.dtype,
@@ -86,6 +111,7 @@ class ViTB16(nn.Module):
     depth: int = 12
     num_heads: int = 12
     norm_eps: float = 1e-12
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -118,7 +144,8 @@ class ViTB16(nn.Module):
         x = x + pos.astype(x.dtype)
         for i in range(self.depth):
             x = ViTBlock(
-                self.num_heads, norm_eps=self.norm_eps, dtype=self.dtype,
+                self.num_heads, norm_eps=self.norm_eps,
+                use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"block_{i}",
             )(x)
         x = nn.LayerNorm(

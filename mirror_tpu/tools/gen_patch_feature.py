@@ -107,7 +107,8 @@ def batched_patch_stream(
     t.join()
 
 
-def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat16"):
+def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat16",
+                    use_pallas: bool = False):
     """Returns (jitted_fn(images)->features, feature_dim)."""
     import jax
     import jax.numpy as jnp
@@ -121,7 +122,7 @@ def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat1
 
     dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
     if model_name == "phikon":
-        model = ViTB16(dtype=jnp.dtype(dtype))
+        model = ViTB16(dtype=jnp.dtype(dtype), use_pallas=use_pallas)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
         params = variables["params"]
         if checkpoint:
@@ -179,10 +180,11 @@ def extract_features(
     num_threads: int = 8,
     fmt: str = "npy",
     skip_existing: bool = True,
+    use_pallas: bool = False,
 ) -> dict:
     from mirror_tpu.data.formats import save_feature_file
 
-    fn, dim = build_extractor(model_name, checkpoint)
+    fn, dim = build_extractor(model_name, checkpoint, use_pallas=use_pallas)
     slides = list_slides(patch_root)[fold::k]
     _logger.info("%d slides (shard %d/%d)", len(slides), fold, k)
     total_patches = 0
@@ -236,10 +238,11 @@ def main():
     p.add_argument("--num-threads", type=int, default=8)
     p.add_argument("--format", default="npy", choices=["npy", "pt"])
     p.add_argument("--no-skip-existing", action="store_false", dest="skip_existing")
+    p.add_argument("--use-pallas", action="store_true", default=False)
     a = p.parse_args()
     extract_features(
         a.patch_root, a.output_dir, a.model, a.checkpoint, a.batch_size,
-        a.fold, a.k, a.num_threads, a.format, a.skip_existing,
+        a.fold, a.k, a.num_threads, a.format, a.skip_existing, a.use_pallas,
     )
 
 

@@ -213,3 +213,21 @@ def test_feature_pipeline_end_to_end(tmp_path):
     feats = np.load(os.path.join(out, "s1.npy"))
     assert feats.shape == (n, 1024)
     assert stats["patches"] == n
+
+
+def test_vit_pallas_matches_dense():
+    """The fused-attention ViT path must match the dense path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirror_tpu.models.feature_extractors import ViTB16
+
+    dense = ViTB16(depth=2, dtype=jnp.float32)
+    fused = ViTB16(depth=2, use_pallas=True, dtype=jnp.float32)
+    x = jnp.array(
+        np.random.default_rng(0).normal(size=(2, 224, 224, 3)).astype(np.float32)
+    )
+    params = dense.init(jax.random.PRNGKey(0), x[:1])["params"]
+    out_dense = np.asarray(dense.apply({"params": params}, x))
+    out_fused = np.asarray(fused.apply({"params": params}, x))
+    np.testing.assert_allclose(out_fused, out_dense, rtol=2e-4, atol=2e-4)
