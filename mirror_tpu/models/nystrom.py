@@ -183,9 +183,10 @@ class NystromAttention(nn.Module):
             if self.residual:
                 res_kernel = self._res_kernel(h)
                 # depthwise conv along n directly on the head-major value
+                cdt = self.dtype or jnp.float32
                 res = jax.lax.conv_general_dilated(
-                    v.astype(jnp.float32),
-                    res_kernel.astype(jnp.float32),
+                    v.astype(cdt),
+                    res_kernel.astype(cdt),
                     window_strides=(1, 1),
                     padding=((self.residual_conv_kernel // 2,) * 2, (0, 0)),
                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
@@ -218,9 +219,10 @@ class NystromAttention(nn.Module):
             # spatial dims (n, dh) and channel = h.
             kernel = self._res_kernel(h)
             # NHWC: input [b, n, dh, h], kernel HWIO [K, 1, 1, h] (grouped)
+            cdt = self.dtype or jnp.float32
             res = jax.lax.conv_general_dilated(
-                v.transpose(0, 1, 3, 2).astype(jnp.float32),
-                kernel.transpose(2, 3, 1, 0).astype(jnp.float32),
+                v.transpose(0, 1, 3, 2).astype(cdt),
+                kernel.transpose(2, 3, 1, 0).astype(cdt),
                 window_strides=(1, 1),
                 padding=((self.residual_conv_kernel // 2,) * 2, (0, 0)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
