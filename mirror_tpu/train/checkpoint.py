@@ -16,6 +16,7 @@ pulled off-device at save time.
 
 import logging
 import os
+import threading
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -52,6 +53,7 @@ class CheckpointSaver:
         args_text: str = "",
         decreasing: bool = False,
         max_history: int = 5,
+        async_save: bool = True,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         self.arch = arch
@@ -61,7 +63,33 @@ class CheckpointSaver:
         self.checkpoint_files: List[Tuple[str, float]] = []
         self.best_metric: Optional[float] = None
         self.best_epoch: Optional[int] = None
+        # serialization + disk IO of a full state (params + adam moments) can
+        # take tens of seconds; a background thread keeps the train loop
+        # running. jax arrays are immutable, so snapshotting references is
+        # safe; _to_host pulls them at write time.
+        self.async_save = async_save
+        self._save_thread: Optional[threading.Thread] = None
         os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _write(self, paths_payloads) -> None:
+        for path, payload in paths_payloads:
+            save_checkpoint_file(path, payload)
+
+    def _dispatch(self, paths_payloads) -> None:
+        if not self.async_save:
+            self._write(paths_payloads)
+            return
+        self.wait()  # at most one save in flight
+        self._save_thread = threading.Thread(
+            target=self._write, args=(paths_payloads,), daemon=True
+        )
+        self._save_thread.start()
+
+    def wait(self) -> None:
+        """Block until any in-flight save finishes (call before exiting)."""
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
 
     def _payload(self, state, epoch: int, metric: Optional[float]) -> Dict[str, Any]:
         # strings/ints stay native python; only array pytrees go through
@@ -85,10 +113,14 @@ class CheckpointSaver:
 
     def save_checkpoint(self, state, epoch: int, metric: Optional[float] = None):
         """Returns (best_metric, best_epoch) like timm."""
+        self.wait()  # old-file removal below must not race an in-flight write
+        # NOTE: _payload snapshots device arrays to host numpy NOW — the next
+        # train step donates the state buffers, so the background writer must
+        # never touch live jax arrays.
+        payload = self._payload(state, epoch, metric)
         path = os.path.join(self.checkpoint_dir, f"checkpoint-{epoch}{EXT}")
-        save_checkpoint_file(path, self._payload(state, epoch, metric))
         last = os.path.join(self.checkpoint_dir, f"last{EXT}")
-        save_checkpoint_file(last, self._payload(state, epoch, metric))
+        writes = [(path, payload), (last, payload)]
 
         if metric is not None:
             self.checkpoint_files.append((path, metric))
@@ -103,12 +135,14 @@ class CheckpointSaver:
                 self.best_metric = metric
                 self.best_epoch = epoch
                 best = os.path.join(self.checkpoint_dir, f"model_best{EXT}")
-                save_checkpoint_file(best, self._payload(state, epoch, metric))
+                writes.append((best, payload))
+        self._dispatch(writes)
         return self.best_metric, self.best_epoch
 
     def save_recovery(self, state, epoch: int, batch_idx: int) -> None:
+        self.wait()
         path = os.path.join(self.checkpoint_dir, f"recovery{EXT}")
-        save_checkpoint_file(path, self._payload(state, epoch, None))
+        self._dispatch([(path, self._payload(state, epoch, None))])
 
 
 def resume_checkpoint(

@@ -226,6 +226,8 @@ class TrainHarness:
                     best_metric, best_epoch = metric_val, epoch
             _logger.info("Epoch %d done in %.1fs", epoch, time.time() - t0)
 
+        if self.saver is not None:
+            self.saver.wait()  # drain any in-flight async checkpoint write
         results = {
             "best_metric": best_metric,
             "best_epoch": best_epoch,
