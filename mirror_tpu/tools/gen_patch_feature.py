@@ -108,8 +108,13 @@ def batched_patch_stream(
 
 
 def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat16",
-                    use_pallas: bool = False):
-    """Returns (jitted_fn(images)->features, feature_dim)."""
+                    use_pallas: bool = False, data_parallel: bool = True):
+    """Returns (jitted_fn(images)->features, feature_dim).
+
+    With ``data_parallel`` (default) and more than one device, the image
+    batch is sharded over all chips of a ``data`` mesh — feature extraction
+    is embarrassingly parallel, so one process drives the whole slice (the
+    batch size must then be a multiple of the device count)."""
     import jax
     import jax.numpy as jnp
 
@@ -119,20 +124,40 @@ def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat1
         load_hf_vit_weights,
         load_torch_resnet50_weights,
     )
+    from mirror_tpu.parallel import create_mesh, replicate
+    from mirror_tpu.parallel.mesh import batch_sharding
+
+    def _wrap(model, variables):
+        raw = jax.jit(lambda v, imgs: model.apply(v, imgs))
+        if not data_parallel or len(jax.devices()) == 1:
+            return lambda imgs: raw(variables, imgs)
+        mesh = create_mesh()
+        shard = batch_sharding(mesh)
+        variables = replicate(mesh, variables)
+        n_dev = mesh.devices.size
+        _logger.info("data-parallel feature extraction over %d devices", n_dev)
+
+        def fn(imgs):
+            assert imgs.shape[0] % n_dev == 0, (
+                f"batch {imgs.shape[0]} must divide over {n_dev} devices"
+            )
+            return raw(variables, jax.device_put(imgs, shard))
+
+        return fn
 
     dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
     if model_name == "phikon":
         model = ViTB16(dtype=jnp.dtype(dtype), use_pallas=use_pallas)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
-        params = variables["params"]
         if checkpoint:
             hf_state = _load_hf_state(checkpoint)
-            params = load_hf_vit_weights(params, hf_state)
+            variables = {
+                "params": load_hf_vit_weights(variables["params"], hf_state)
+            }
             _logger.info("Loaded Phikon/ViT weights from %s", checkpoint)
         else:
             _logger.warning("No checkpoint given: random ViT weights")
-        fn = jax.jit(lambda imgs: model.apply({"params": params}, imgs))
-        return fn, 768
+        return _wrap(model, variables), 768
     if model_name == "custom_resnet50":
         model = TruncatedResNet50(dtype=jnp.dtype(dtype))
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
@@ -144,8 +169,7 @@ def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat1
             _logger.info("Loaded ResNet50 weights from %s", checkpoint)
         else:
             _logger.warning("No checkpoint given: random ResNet50 weights")
-        fn = jax.jit(lambda imgs: model.apply(variables, imgs))
-        return fn, 1024
+        return _wrap(model, variables), 1024
     raise SystemExit(f"Unknown model {model_name}")
 
 
