@@ -231,3 +231,25 @@ def test_vit_pallas_matches_dense():
     out_dense = np.asarray(dense.apply({"params": params}, x))
     out_fused = np.asarray(fused.apply({"params": params}, x))
     np.testing.assert_allclose(out_fused, out_dense, rtol=2e-4, atol=2e-4)
+
+
+def test_feature_extraction_data_parallel_mesh(tmp_path):
+    """The streaming pipeline works with the batch sharded over the mesh."""
+    import cv2
+
+    from mirror_tpu.tools.gen_patch import process_slide
+    from mirror_tpu.tools.gen_patch_feature import extract_features
+
+    img = np.full((256, 256, 3), 255, np.uint8)
+    cv2.circle(img, (128, 128), 90, (170, 80, 150), -1)
+    slide = str(tmp_path / "s1.png")
+    cv2.imwrite(slide, img)
+    patches = str(tmp_path / "patches")
+    n = process_slide(slide, patches, patch_size=64)
+    out = str(tmp_path / "features")
+    stats = extract_features(
+        patches, out, model_name="custom_resnet50", batch_size=8,
+        num_threads=2, fmt="npy",
+    )
+    feats = np.load(os.path.join(out, "s1.npy"))
+    assert feats.shape == (n, 1024)
