@@ -66,9 +66,12 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--amp", action="store_true", default=True)
     g.add_argument("--no-amp", action="store_false", dest="amp")
     g.add_argument("--amp-dtype", type=str, default="bfloat16")
-    g.add_argument("--global-negatives", action="store_true", default=False,
-                   help="all-gather contrastive embeddings across chips (TPU extension; "
-                        "reference uses local negatives only)")
+    g.add_argument("--contrastive-negatives", type=str, default="global",
+                   choices=["global", "local"],
+                   help="'global' (default): negatives span the global batch "
+                        "(the SPMD-natural, BASELINE north-star design); "
+                        "'local': the reference's exact multi-GPU semantics — "
+                        "each chip's CE sees only its own shard's negatives")
 
     g = parser.add_argument_group("Optimizer")
     g.add_argument("--opt", type=str, default="adam")

@@ -1,5 +1,5 @@
 from .info_nce import info_nce
-from .mirror_loss import MirrorLossWeights, clip_loss, mirror_loss
+from .mirror_loss import MirrorLossWeights, clip_loss, local_clip_loss, mirror_loss
 from .surv import ce_surv_loss, nll_surv_loss
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "ce_surv_loss",
     "clip_loss",
     "info_nce",
+    "local_clip_loss",
     "mirror_loss",
     "nll_surv_loss",
 ]

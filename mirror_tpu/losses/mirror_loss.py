@@ -58,6 +58,41 @@ def clip_loss(
     ) / 2.0
 
 
+def local_clip_loss(
+    wsi_features: jax.Array,
+    rna_features: jax.Array,
+    logit_scale: jax.Array,
+    mesh,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Per-shard contrastive loss — the reference's EXACT multi-GPU
+    semantics: every rank computes CE over only its local batch's negatives
+    and DDP averages the losses (losses/mirror_loss.py:37-50 has no
+    cross-rank gather; SURVEY.md section 2.8).
+
+    Under plain jit the batch-sharded matmul is global mathematics, so the
+    local-negatives behavior needs shard_map: each shard computes its own
+    [b_local, b_local] CE and the shards' losses are averaged (pmean) —
+    identical to N DDP ranks of batch b_local.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(w, r, ls):
+        return jax.lax.pmean(clip_loss(w, r, ls[0]), axis_name)
+
+    return shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+    )(wsi_features, rna_features, logit_scale[None])
+
+
 class MirrorLossWeights(NamedTuple):
     """Loss-term weights. Defaults match the reference class defaults
     (losses/mirror_loss.py:58-63); the shipped config uses
@@ -101,14 +136,23 @@ def mirror_loss(
     logit_scale: jax.Array,
     weights: MirrorLossWeights = MirrorLossWeights(),
     gather_axis: Optional[str] = None,
+    alignment_loss_fn=None,
 ):
     """Five-term MIRROR loss (ref: losses/mirror_loss.py:74-135).
 
     Returns (total, alignment, wsi_retention, rna_retention, style, cluster).
+    ``alignment_loss_fn(w, r, scale)`` overrides the contrastive term (used
+    for the local-negatives parity mode, see ``local_clip_loss``).
     """
-    alignment_loss = clip_loss(
-        wsi_alignment_emb, rna_alignment_emb, logit_scale, gather_axis=gather_axis
-    )
+    if alignment_loss_fn is not None:
+        alignment_loss = alignment_loss_fn(
+            wsi_alignment_emb, rna_alignment_emb, logit_scale
+        )
+    else:
+        alignment_loss = clip_loss(
+            wsi_alignment_emb, rna_alignment_emb, logit_scale,
+            gather_axis=gather_axis,
+        )
 
     # WSI retention: per-token feature-mean MSE, masked mean over tokens
     # (ref :98-100).

@@ -89,7 +89,12 @@ def make_mirror_train_step(
     rna_mask_ratio: float = 0.75,
     ema_decay: Optional[float] = None,
     schedule: Optional[Callable] = None,
+    alignment_loss_fn: Optional[Callable] = None,
 ) -> Callable:
+    """``alignment_loss_fn`` (optional) swaps the contrastive term — pass
+    ``partial(local_clip_loss, mesh=mesh)`` for the reference's per-rank
+    local-negatives semantics instead of global-batch negatives."""
+
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
         params0 = renorm_prototypes(state.params)
@@ -105,7 +110,9 @@ def make_mirror_train_step(
                 False,  # deterministic
                 rngs=rngs,
             )
-            losses = mirror_loss(*out, weights=loss_weights)
+            losses = mirror_loss(
+                *out, weights=loss_weights, alignment_loss_fn=alignment_loss_fn
+            )
             return losses[0], losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params0)

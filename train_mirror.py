@@ -120,12 +120,21 @@ def main(argv=None):
         style=float((args.loss_kwargs or {}).get("style_loss_weight", 0.1)),
         cluster=float((args.loss_kwargs or {}).get("cluster_loss_weight", 0.2)),
     )
+    alignment_loss_fn = None
+    if args.contrastive_negatives == "local" and n_devices > 1:
+        from functools import partial
+
+        from mirror_tpu.losses import local_clip_loss
+
+        alignment_loss_fn = partial(local_clip_loss, mesh=mesh)
+        _logger.info("contrastive loss: per-chip LOCAL negatives (parity mode)")
     train_step = make_mirror_train_step(
         model, tx, loss_weights,
         wsi_mask_ratio=args.wsi_mask_ratio,
         rna_mask_ratio=args.rna_mask_ratio,
         ema_decay=args.model_ema_decay if args.model_ema else None,
         schedule=schedule,
+        alignment_loss_fn=alignment_loss_fn,
     )
     eval_step = jax.jit(
         make_mirror_eval_step(
