@@ -206,8 +206,15 @@ def extract_features(
     skip_existing: bool = True,
     use_pallas: bool = False,
 ) -> dict:
+    import jax
+
     from mirror_tpu.data.formats import save_feature_file
 
+    n_dev = len(jax.devices())
+    if batch_size % n_dev:
+        batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+        _logger.info("rounded batch size up to %d (multiple of %d devices)",
+                     batch_size, n_dev)
     fn, dim = build_extractor(model_name, checkpoint, use_pallas=use_pallas)
     slides = list_slides(patch_root)[fold::k]
     _logger.info("%d slides (shard %d/%d)", len(slides), fold, k)
