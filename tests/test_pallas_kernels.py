@@ -114,3 +114,32 @@ def test_fused_softmax_attn_conv_grads():
     for a, b2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_checkpoint_portable_across_backends():
+    """Params trained with use_pallas=True must load into the dense model
+    (and vice versa): identical param trees, near-identical outputs."""
+    from mirror_tpu.registry import create_model
+
+    kw = dict(wsi_embed_dim=16, rna_embed_dim=32, embed_dim=24, wsi_num_tokens=8,
+              rna_mlp_ratio=2.0, num_prototypes=10, style_mlp_hidden_dim=12,
+              style_mlp_out_dim=8, style_latent_dim=4)
+    m_pallas = create_model("mirror", **kw, use_pallas=True)
+    m_dense = create_model("mirror", **kw, use_pallas=False)
+    rngs = dict(zip(["params", "dropout", "masking", "style"],
+                    jax.random.split(jax.random.PRNGKey(0), 4)))
+    wsi = jnp.ones((2, 8, 16))
+    rna = jnp.ones((2, 32))
+    p1 = m_pallas.init(rngs, wsi, rna, 0.75, 0.75, False)["params"]
+    p2 = m_dense.init(rngs, wsi, rna, 0.75, 0.75, False)["params"]
+    # identical tree structure and shapes
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        assert a.shape == b.shape
+    # pallas-trained params run through the dense model with matching output
+    out_p = m_pallas.apply({"params": p1}, wsi, rna, 0.75, 0.75, True, rngs=rngs)
+    out_d = m_dense.apply({"params": p1}, wsi, rna, 0.75, 0.75, True, rngs=rngs)
+    np.testing.assert_allclose(
+        np.asarray(out_p.wsi_alignment_emb), np.asarray(out_d.wsi_alignment_emb),
+        rtol=1e-4, atol=1e-4,
+    )
