@@ -1,11 +1,9 @@
 """Dataset edge cases: all-censored survival cohorts (the pd.cut fallback
 branch), wsi-only survival items, missing-RNA filtering warnings."""
 
-import os
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from mirror_tpu.data import SurvivalDataset, make_synthetic_cohort
 

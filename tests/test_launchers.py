@@ -1,7 +1,6 @@
 """Job-launcher integration: fold fan-out via subprocesses, checkpoint
 discovery, downstream evaluation chaining."""
 
-import glob
 import os
 import subprocess
 import sys

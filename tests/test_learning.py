@@ -2,7 +2,6 @@
 cohort, subtyping fine-tuning should reach high val AUC, and MIRROR
 pretraining should push the contrastive alignment well below chance."""
 
-import numpy as np
 import pytest
 import yaml
 

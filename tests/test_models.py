@@ -8,7 +8,6 @@ import pytest
 
 from mirror_tpu.models import (
     MIRROR,
-    MIRRORClassifier,
     NystromAttention,
     moore_penrose_pinv,
 )

@@ -1,7 +1,6 @@
 """Native C++ batch-assembly loader tests: build, correctness vs numpy,
 sampling semantics, error paths, and Loader integration."""
 
-import os
 
 import numpy as np
 import pytest

@@ -8,10 +8,8 @@ import optax
 import pytest
 
 from mirror_tpu.train.optim import make_optimizer, make_schedule
-from mirror_tpu.train.state import create_train_state
 from mirror_tpu.train.steps import (
     clamp_logit_scale,
-    make_mirror_train_step,
     renorm_prototypes,
     smoothed_xent,
 )

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from mirror_tpu.models import NystromAttention
 from mirror_tpu.ops.nystrom_pallas import fused_softmax_attn

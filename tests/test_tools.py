@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 from mirror_tpu.data import make_synthetic_cohort
-from mirror_tpu.data.formats import save_feature_file
 
 
 @pytest.fixture(scope="module")
