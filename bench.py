@@ -11,13 +11,18 @@ clamp — everything a real pretrain step does except host data loading.
 
 vs_baseline: the reference publishes no numbers and cannot run here (its
 nystrom_attention pip dep is not installed, and it has no TPU path), so the
-baseline is this framework's round-1 measurement on one v5e chip
-(B=32: 87.6 samples/s, recorded in BASELINE.md). Ratios > 1.0 are
-improvements over round 1.
+baseline is this framework's FIRST (dense, pre-optimization) round-1
+measurement on one v5e chip: 77.6 samples/s at B=32 (BASELINE.md, frozen).
+Ratios > 1.0 are improvements over that initial implementation.
 
 Timing note: on the axon tunnel, block_until_ready over a chain of async
-dispatches can return early — every timed step synchronizes by pulling the
-loss to the host.
+dispatches can return early — each timed repetition synchronizes by pulling
+the loss to the host. The ~30ms tunnel round-trip is amortized to <0.3% by
+chaining 30 steps inside one jit (no magic subtractions).
+
+The line also reports measured TFLOP/s and MFU (vs the chip's bf16 peak,
+override with MIRROR_PEAK_TFLOPS; v5e ~197) from XLA's compiled cost
+analysis when available.
 """
 
 import json
@@ -78,7 +83,7 @@ def main():
 
     # N chained steps inside one jit: amortizes the ~30ms tunnel round-trip
     # (and sidesteps its unreliable async block_until_ready)
-    n_steps = 10
+    n_steps = 30
 
     @jax.jit
     def multi(state, b, rng):
@@ -92,29 +97,44 @@ def main():
         )
         return state, loss
 
-    state, loss = multi(state, batch_dict, jax.random.PRNGKey(1))
-    float(loss)  # compile + settle
+    lowered = multi.lower(state, batch_dict, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    flops_per_step = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and "flops" in ca:
+            flops_per_step = float(ca["flops"]) / n_steps
+    except Exception:
+        pass
+
+    state, loss = compiled(state, batch_dict, jax.random.PRNGKey(1))
+    float(loss)  # warmup + settle
     times = []
     for i in range(3):
         t0 = time.time()
-        state, loss = multi(state, batch_dict, jax.random.PRNGKey(2 + i))
+        state, loss = compiled(state, batch_dict, jax.random.PRNGKey(2 + i))
         float(loss)  # host sync
-        times.append((time.time() - t0 - 0.03) / n_steps)
+        times.append((time.time() - t0) / n_steps)
     times.sort()
-    samples_per_sec = batch / times[len(times) // 2]
+    step_time = times[len(times) // 2]
+    samples_per_sec = batch / step_time
 
-    print(
-        json.dumps(
-            {
-                "metric": "mirror_pretrain_train_step_throughput",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(
-                    samples_per_sec / ROUND1_BASELINE_SAMPLES_PER_SEC, 3
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "mirror_pretrain_train_step_throughput",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / ROUND1_BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    if flops_per_step:
+        import os
+
+        peak_tflops = float(os.environ.get("MIRROR_PEAK_TFLOPS", "197"))
+        tflops = flops_per_step / step_time / 1e12
+        out["tflops_per_sec"] = round(tflops, 1)
+        out["mfu"] = round(tflops / peak_tflops, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -111,24 +111,25 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
 
     g = parser.add_argument_group("Misc")
     g.add_argument("--seed", type=int, default=42)
-    g.add_argument("--log-interval", type=int, default=1)
+    # 50 like the reference (train_mirror.py default): pulling metrics to
+    # host syncs the step (~30ms tunnel RTT), so logging every step taxes
+    # throughput by several percent
+    g.add_argument("--log-interval", type=int, default=50)
     g.add_argument("--recovery-interval", type=int, default=0)
     g.add_argument("--checkpoint-hist", type=int, default=5)
-    g.add_argument("--workers", type=int, default=4)
+    g.add_argument("--workers", type=int, default=4,
+                   help="host loader threads (native batch-assembly pool; "
+                        "the reference's DataLoader worker count)")
     g.add_argument("--output", type=str, default="")
     g.add_argument("--experiment", type=str, default="")
     g.add_argument("--log-wandb", action="store_true", default=False)
     g.add_argument("--wandb-project", type=str, default="MIRROR")
-    g.add_argument("--synchronize-step", action="store_true", default=False)
+    g.add_argument("--synchronize-step", action="store_true", default=False,
+                   help="pull a scalar to host every step for accurate "
+                        "per-step timing (ref train_mirror.py:1286-1287)")
     g.add_argument("--profile", action="store_true", default=False,
                    help="write a jax.profiler trace of one epoch to the run dir")
 
-
-_TASK_SPECIFIC = {
-    "pretrain": None,
-    "subtyping": None,
-    "survival": None,
-}
 
 
 def build_parser(task: str) -> argparse.ArgumentParser:

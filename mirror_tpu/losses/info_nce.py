@@ -18,9 +18,24 @@ def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(norm, eps)
 
 
-def _xent(logits: jax.Array, labels: jax.Array, reduction: str) -> jax.Array:
+def _xent(
+    logits: jax.Array,
+    labels: jax.Array,
+    reduction: str,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``valid`` ([B] 0/1) drops padded rows from the reduction and padded
+    columns from the softmax normalizer (exact pad+mask eval tails)."""
+    if valid is not None:
+        logits = logits + jnp.where(valid[None, :] > 0, 0.0, -1e9)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if valid is not None:
+        if reduction == "mean":
+            return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        if reduction == "sum":
+            return jnp.sum(nll * valid)
+        return nll * valid
     if reduction == "mean":
         return jnp.mean(nll)
     if reduction == "sum":
@@ -36,7 +51,10 @@ def info_nce(
     reduction: str = "mean",
     negative_mode: str = "unpaired",
     symmetric: bool = False,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
+    if valid is not None and negative_keys is not None:
+        raise ValueError("valid mask is only supported with in-batch negatives")
     if query.ndim != 2 or positive_key.ndim != 2:
         raise ValueError("<query>/<positive_key> must have 2 dimensions.")
     if negative_keys is not None:
@@ -63,7 +81,7 @@ def info_nce(
     labels = jnp.arange(logits.shape[0], dtype=jnp.int32)
     if symmetric:
         logits2 = positive_key @ query.T
-        return 0.5 * _xent(logits / temperature, labels, reduction) + 0.5 * _xent(
-            logits2 / temperature, labels, reduction
+        return 0.5 * _xent(logits / temperature, labels, reduction, valid) + 0.5 * _xent(
+            logits2 / temperature, labels, reduction, valid
         )
-    return _xent(logits / temperature, labels, reduction)
+    return _xent(logits / temperature, labels, reduction, valid)

@@ -23,8 +23,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _softmax_xent(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean cross entropy with integer labels (== F.cross_entropy default)."""
+def _softmax_xent(
+    logits: jax.Array, labels: jax.Array, valid: Optional[jax.Array] = None
+) -> jax.Array:
+    """Mean cross entropy with integer labels (== F.cross_entropy default).
+
+    ``valid`` ([B] 0/1) excludes padded rows from the mean AND padded columns
+    from the softmax normalizer, making the padded computation exactly equal
+    to the unpadded one (eval tail batches on a mesh pad to a device
+    multiple; negatives must not include the padding)."""
+    if valid is not None:
+        logits = logits + jnp.where(valid[None, :] > 0, 0.0, -1e9)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
@@ -34,6 +46,7 @@ def clip_loss(
     rna_features: jax.Array,
     logit_scale: jax.Array,
     gather_axis: Optional[str] = None,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Symmetric CLIP contrastive loss (ref: losses/mirror_loss.py:37-52).
 
@@ -44,17 +57,21 @@ def clip_loss(
         gather_axis: optional SPMD mesh axis name. When set (inside shard_map /
             jit with a mesh axis), embeddings are all-gathered over the axis so
             negatives span the global batch. ``None`` == reference behavior.
+        valid: optional [B] 0/1 row mask for padded eval tail batches.
     """
     if gather_axis is not None:
         # Cross-chip negatives ride ICI; gradients flow through the local shard
         # and are correct because each chip computes the identical global loss.
         wsi_features = jax.lax.all_gather(wsi_features, gather_axis, tiled=True)
         rna_features = jax.lax.all_gather(rna_features, gather_axis, tiled=True)
+        if valid is not None:
+            valid = jax.lax.all_gather(valid, gather_axis, tiled=True)
     logits_per_wsi = logit_scale * (wsi_features @ rna_features.T)
     logits_per_rna = logit_scale * (rna_features @ wsi_features.T)
     labels = jnp.arange(logits_per_wsi.shape[0])
     return (
-        _softmax_xent(logits_per_wsi, labels) + _softmax_xent(logits_per_rna, labels)
+        _softmax_xent(logits_per_wsi, labels, valid)
+        + _softmax_xent(logits_per_rna, labels, valid)
     ) / 2.0
 
 
@@ -105,19 +122,6 @@ class MirrorLossWeights(NamedTuple):
     cluster: float = 0.2
 
 
-def _kl_div_batchmean(log_p: jax.Array, q: jax.Array, log_q: jax.Array) -> jax.Array:
-    """KL(q || p) summed over classes, averaged over batch.
-
-    Matches ``F.kl_div(log_p, q, reduction="batchmean")`` = mean_b sum_c
-    q*(log q - log p), with the torch xlogy convention 0*log0 = 0.
-    """
-    # q comes from softmax so q*log_q is computed stably from the provided
-    # log-probabilities; where q underflows to 0, log_q is still finite
-    # (log_softmax), so q*log_q == 0 with no NaNs.
-    per_elem = q * (log_q - log_p)
-    return jnp.sum(per_elem) / q.shape[0]
-
-
 def mirror_loss(
     wsi_alignment_emb: jax.Array,
     wsi_retention_emb: jax.Array,
@@ -137,12 +141,15 @@ def mirror_loss(
     weights: MirrorLossWeights = MirrorLossWeights(),
     gather_axis: Optional[str] = None,
     alignment_loss_fn=None,
+    valid: Optional[jax.Array] = None,
 ):
     """Five-term MIRROR loss (ref: losses/mirror_loss.py:74-135).
 
     Returns (total, alignment, wsi_retention, rna_retention, style, cluster).
     ``alignment_loss_fn(w, r, scale)`` overrides the contrastive term (used
     for the local-negatives parity mode, see ``local_clip_loss``).
+    ``valid`` ([B] 0/1) excludes padded rows everywhere — pad+mask eval tail
+    batches compute the exact unpadded loss while staying mesh-sharded.
     """
     if alignment_loss_fn is not None:
         alignment_loss = alignment_loss_fn(
@@ -151,35 +158,48 @@ def mirror_loss(
     else:
         alignment_loss = clip_loss(
             wsi_alignment_emb, rna_alignment_emb, logit_scale,
-            gather_axis=gather_axis,
+            gather_axis=gather_axis, valid=valid,
         )
+
+    if valid is None:
+        n_valid = jnp.asarray(float(wsi_alignment_emb.shape[0]), jnp.float32)
+        row_w = None
+    else:
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+        row_w = valid
 
     # WSI retention: per-token feature-mean MSE, masked mean over tokens
     # (ref :98-100).
     wsi_ret = jnp.mean((wsi_retention_emb - wsi_retention_target) ** 2, axis=-1)
-    wsi_retention_loss = jnp.sum(wsi_ret * wsi_mask) / jnp.sum(wsi_mask)
+    wsi_tok_mask = wsi_mask if row_w is None else wsi_mask * row_w[:, None]
+    wsi_retention_loss = jnp.sum(wsi_ret * wsi_tok_mask) / jnp.sum(wsi_tok_mask)
 
     # RNA retention: elementwise MSE * mask / mask.sum — NO feature mean; this
     # reference quirk (ref :102-103) is reproduced deliberately.
     rna_ret = (rna_retention_emb - rna_retention_target) ** 2
-    rna_retention_loss = jnp.sum(rna_ret * rna_mask) / jnp.sum(rna_mask)
+    rna_tok_mask = rna_mask if row_w is None else rna_mask * row_w[:, None]
+    rna_retention_loss = jnp.sum(rna_ret * rna_tok_mask) / jnp.sum(rna_tok_mask)
 
     # Closed-form KL(N(mu, sigma) || N(0, 1)) summed over latent dims, batch
     # mean, averaged over the two modalities (ref :105-112).
-    style_loss = 0.5 * (
-        jnp.mean(jnp.sum(jnp.exp(wsi_logstd) + wsi_mu**2 - 1.0 - wsi_logstd, axis=1))
-        + jnp.mean(jnp.sum(jnp.exp(rna_logstd) + rna_mu**2 - 1.0 - rna_logstd, axis=1))
-    )
+    wsi_kl = jnp.sum(jnp.exp(wsi_logstd) + wsi_mu**2 - 1.0 - wsi_logstd, axis=1)
+    rna_kl = jnp.sum(jnp.exp(rna_logstd) + rna_mu**2 - 1.0 - rna_logstd, axis=1)
+    if row_w is not None:
+        wsi_kl = wsi_kl * row_w
+        rna_kl = rna_kl * row_w
+    style_loss = 0.5 * (jnp.sum(wsi_kl) + jnp.sum(rna_kl)) / n_valid
 
     # Symmetric KL between prototype-assignment distributions (ref :114-119).
     wsi_logprob = jax.nn.log_softmax(wsi_score, axis=-1)
     rna_logprob = jax.nn.log_softmax(rna_score, axis=-1)
     wsi_prob = jnp.exp(wsi_logprob)
     rna_prob = jnp.exp(rna_logprob)
-    cluster_loss = 0.5 * (
-        _kl_div_batchmean(wsi_logprob, rna_prob, rna_logprob)
-        + _kl_div_batchmean(rna_logprob, wsi_prob, wsi_logprob)
-    )
+    kl_a = jnp.sum(rna_prob * (rna_logprob - wsi_logprob), axis=-1)
+    kl_b = jnp.sum(wsi_prob * (wsi_logprob - rna_logprob), axis=-1)
+    if row_w is not None:
+        kl_a = kl_a * row_w
+        kl_b = kl_b * row_w
+    cluster_loss = 0.5 * (jnp.sum(kl_a) + jnp.sum(kl_b)) / n_valid
 
     total_loss = (
         weights.alignment * alignment_loss

@@ -37,6 +37,10 @@ from .layers import dense, torch_default_init
 
 import functools
 
+# debug hook for cost-attribution ablations (scripts/ablate_step.py):
+# disables the depthwise value-conv residual without touching configs
+_ABLATE_RES_CONV = False
+
 
 @functools.partial(jax.checkpoint, static_argnums=(1,))
 def moore_penrose_pinv(x: jax.Array, iters: int = 6) -> jax.Array:
@@ -186,7 +190,7 @@ class NystromAttention(nn.Module):
             # overlaps the separate conv with other work. Kept as an op (with
             # grad parity tests) for configs where it wins.
             out_hm = softmax_matmul_landmark_q(q, k_l, w.astype(q.dtype))
-            if self.residual:
+            if self.residual and not _ABLATE_RES_CONV:
                 res_kernel = self._res_kernel(h)
                 cdt = self.dtype or jnp.float32
                 res = jax.lax.conv_general_dilated(
@@ -216,7 +220,7 @@ class NystromAttention(nn.Module):
             out = jnp.einsum("bhij,bhjd->bihd", attn1, w)  # [b,n,h,dh]
             out = out.astype(x.dtype)
 
-        if self.residual and not self.use_pallas:
+        if self.residual and not self.use_pallas and not _ABLATE_RES_CONV:
             # torch Conv2d(heads, heads, (K, 1), padding=(K//2, 0),
             # groups=heads, bias=False) over [b, h, n, dh]: a depthwise conv
             # along the sequence axis, one kernel per head, shared across dh.

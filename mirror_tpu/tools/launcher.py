@@ -46,15 +46,37 @@ class TPUResourceManager:
             self._cond.notify()
 
 
+def default_slot_env(slot: str) -> dict:
+    """Per-slot child environment, the TPU analogue of the reference's
+    ``CUDA_VISIBLE_DEVICES`` pinning (pretrain_job_launcher.py:86):
+
+    - a numeric slot pins that chip via ``TPU_VISIBLE_CHIPS`` (libtpu
+      visibility mask) so parallel fold jobs on a multi-chip host don't all
+      grab every chip;
+    - slot ``"cpu"`` forces the CPU backend via ``MIRROR_PLATFORM`` (the
+      axon TPU plugin ignores ``JAX_PLATFORMS``; common_setup applies
+      MIRROR_PLATFORM through the config API).
+    """
+    if slot == "cpu":
+        return {"MIRROR_PLATFORM": "cpu"}
+    return {
+        "TPU_VISIBLE_CHIPS": str(slot),
+        # bounds for a single-chip process on a multi-chip host
+        "TPU_CHIPS_PER_PROCESS_BOUNDS": "1,1,1",
+        "TPU_PROCESS_BOUNDS": "1,1,1",
+    }
+
+
 def run_jobs(
     commands: List[List[str]],
     slots: Optional[Sequence[str]] = None,
     virtual_factor: int = 1,
-    env_for_slot=None,
+    env_for_slot=default_slot_env,
 ) -> List[int]:
     """Run each command on an acquired slot; returns exit codes in order.
     Failures are logged and do not stop the pool (ref
-    pretrain_job_launcher.py:141-145)."""
+    pretrain_job_launcher.py:141-145). Each child gets the slot pinned into
+    its environment via ``env_for_slot`` (default: ``default_slot_env``)."""
     import os
 
     slots = list(slots) if slots else ["0"]

@@ -7,7 +7,12 @@ from .checkpoint import (
     save_checkpoint_file,
 )
 from .harness import TrainHarness, common_setup, update_summary
-from .optim import make_optimizer, make_schedule
+from .optim import (
+    PlateauController,
+    make_optimizer,
+    make_schedule,
+    scheduled_epochs,
+)
 from .state import TrainState, create_train_state
 from . import metrics, steps
 
@@ -19,8 +24,10 @@ __all__ = [
     "create_train_state",
     "load_checkpoint_file",
     "load_pretrained",
+    "PlateauController",
     "make_optimizer",
     "make_schedule",
+    "scheduled_epochs",
     "merge_params",
     "metrics",
     "resume_checkpoint",

@@ -81,6 +81,8 @@ class TrainHarness:
         eval_metric: str = "loss",
         decreasing_metric: bool = True,
         schedule: Optional[Callable] = None,
+        lr_controller=None,
+        num_epochs: Optional[int] = None,
     ) -> None:
         self.args = args
         self.mesh = mesh
@@ -94,6 +96,12 @@ class TrainHarness:
         self.eval_metric = eval_metric
         self.decreasing_metric = decreasing_metric
         self.schedule = schedule
+        # plateau schedule: a host-side PlateauController that rewrites the
+        # lr scalar inside the optimizer state at epoch boundaries
+        self.lr_controller = lr_controller
+        # timm's create_scheduler_v2 may extend training (cooldown epochs);
+        # see optim.scheduled_epochs
+        self.num_epochs = num_epochs if num_epochs is not None else args.epochs
         self.global_step = 0
 
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
@@ -111,6 +119,12 @@ class TrainHarness:
             step_rng = jax.random.fold_in(self.rng, self.global_step)
             self.state, metrics = self.train_step(self.state, batch, step_rng)
             self.global_step += 1
+            if getattr(args, "synchronize_step", False):
+                # accurate per-step timing (ref train_mirror.py:1286-1287,
+                # torch.cuda.synchronize): pull one scalar to host — on this
+                # platform block_until_ready can return early through the
+                # async tunnel, a host transfer cannot
+                float(metrics["loss"])
 
             if (
                 batch_idx % args.log_interval == 0
@@ -118,6 +132,10 @@ class TrainHarness:
             ):
                 # pulling metrics to host synchronizes the step
                 metrics = {k: float(v) for k, v in metrics.items()}
+                if self.lr_controller is not None:
+                    # plateau: the live lr is the controller's, not the
+                    # (identity) schedule the step function sees
+                    metrics["lr"] = self.lr_controller.current_lr
                 bs = next(iter(host_batch.values())).shape[0]
                 dt = time.time() - end
                 samples_m.update(bs / max(dt, 1e-9))
@@ -173,7 +191,7 @@ class TrainHarness:
             if self.out_dir and getattr(args, "profile", False)
             else None
         )
-        for epoch in range(start_epoch, args.epochs):
+        for epoch in range(start_epoch, self.num_epochs):
             t0 = time.time()
             if profile_dir and epoch == start_epoch + 1:
                 # trace the second epoch (first is compile-heavy)
@@ -212,6 +230,16 @@ class TrainHarness:
                 wandb_run.log(payload, step=epoch)
             metric_source = eval_metrics or train_metrics
             metric_val = metric_source.get(self.eval_metric)
+            if self.lr_controller is not None:
+                # metric-driven (plateau) LR step at the epoch boundary, like
+                # the reference's lr_scheduler.step(epoch+1, eval_metric)
+                self.state = self.lr_controller.step_epoch(
+                    self.state, epoch, metric_val
+                )
+                _logger.info(
+                    "Plateau LR after epoch %d: %g", epoch,
+                    self.lr_controller.current_lr,
+                )
             if self.saver is not None and metric_val is not None:
                 best_metric, best_epoch = self.saver.save_checkpoint(
                     self.state, epoch, metric_val

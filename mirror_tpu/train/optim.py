@@ -11,17 +11,173 @@ Replicates the subset of timm's ``create_optimizer_v2`` /
   linear warmup, step, multistep. All are pure step->lr functions evaluated
   inside the jitted train step, stepped per-epoch or per-update
   (``sched_on_updates``).
+- plateau: timm's PlateauLRScheduler (torch ReduceLROnPlateau semantics) is
+  metric-driven, so it can't be a pure step->lr function. TPU-native design:
+  the final LR transform holds the LR as a *device scalar in the optimizer
+  state* (``HostLRState``); a host-side ``PlateauController`` rewrites that
+  scalar at epoch boundaries (pure pytree surgery — no recompilation, the jit
+  reads whatever scalar is resident).
 - grad clipping: global-norm or value (``clip_mode``).
 """
 
 import logging
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 _logger = logging.getLogger(__name__)
+
+
+class HostLRState(NamedTuple):
+    """Optimizer-state leaf node holding the live learning rate.
+
+    Marker type: ``set_host_lr`` finds it anywhere in a (possibly
+    MultiSteps/multi_transform-nested) opt-state pytree.
+    """
+
+    lr: jnp.ndarray
+
+
+def scale_by_host_lr(init_lr: float) -> optax.GradientTransformation:
+    """Like ``optax.scale(-lr)`` but with lr stored in state so the host can
+    update it between steps (plateau schedule)."""
+
+    def init_fn(params):
+        del params
+        return HostLRState(lr=jnp.asarray(init_lr, jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree.map(lambda u: -state.lr * u.astype(u.dtype), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _is_host_lr(x) -> bool:
+    return isinstance(x, HostLRState)
+
+
+def set_host_lr(opt_state, lr: float):
+    """Functionally replace every HostLRState leaf's lr with ``lr``."""
+    return jax.tree.map(
+        lambda s: HostLRState(lr=jnp.asarray(lr, jnp.float32)) if _is_host_lr(s) else s,
+        opt_state,
+        is_leaf=_is_host_lr,
+    )
+
+
+def get_host_lr(opt_state) -> float:
+    found = []
+    jax.tree.map(
+        lambda s: found.append(float(s.lr)) if _is_host_lr(s) else None,
+        opt_state,
+        is_leaf=_is_host_lr,
+    )
+    if not found:
+        raise ValueError("opt_state has no HostLRState (not a plateau optimizer)")
+    return found[0]
+
+
+class PlateauController:
+    """Host-side plateau LR schedule, timm PlateauLRScheduler semantics
+    (ref create_scheduler_v2 surface, /root/reference/train_mirror.py:952-975;
+    torch ReduceLROnPlateau underneath):
+
+    - epochs [0, warmup_epochs): linear warmup from ``warmup_lr`` to
+      ``base_lr``;
+    - afterwards: if the eval metric fails to improve on the best by a
+      relative threshold (1e-4) for more than ``patience`` epochs, multiply
+      lr by ``decay_rate`` (floored at ``min_lr``) and start a ``cooldown``
+      window during which bad epochs don't count.
+
+    Call ``step_epoch(state, epoch, metric)`` after eval; it returns the
+    state with the opt-state LR scalar rewritten.
+    """
+
+    def __init__(
+        self,
+        base_lr: float,
+        decay_rate: float = 0.1,
+        patience: int = 10,
+        cooldown: int = 0,
+        warmup_epochs: int = 0,
+        warmup_lr: float = 1e-5,
+        min_lr: float = 0.0,
+        mode: str = "min",
+        threshold: float = 1e-4,
+    ) -> None:
+        self.base_lr = base_lr
+        self.decay_rate = decay_rate
+        self.patience = patience
+        self.cooldown = cooldown
+        self.warmup_epochs = warmup_epochs
+        self.warmup_lr = warmup_lr
+        self.min_lr = min_lr
+        self.mode = mode
+        self.threshold = threshold
+        self.current_lr = warmup_lr if warmup_epochs > 0 else base_lr
+        self.best: float | None = None
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
+
+    def epoch_lr(self, epoch: int, metric: float | None) -> float:
+        if epoch < self.warmup_epochs:
+            t = (epoch + 1) / max(self.warmup_epochs, 1)
+            self.current_lr = self.warmup_lr + t * (self.base_lr - self.warmup_lr)
+            return self.current_lr
+        if epoch == self.warmup_epochs:
+            self.current_lr = self.base_lr
+        if metric is None:
+            return self.current_lr
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+            if self.num_bad_epochs > self.patience:
+                self.current_lr = max(self.current_lr * self.decay_rate, self.min_lr)
+                self.cooldown_counter = self.cooldown
+                self.num_bad_epochs = 0
+        return self.current_lr
+
+    def step_epoch(self, state, epoch: int, metric: float | None):
+        lr = self.epoch_lr(epoch, metric)
+        return state.replace(opt_state=set_host_lr(state.opt_state, lr))
+
+    @classmethod
+    def from_args(cls, args, base_lr: float, decreasing_metric: bool = True):
+        return cls(
+            base_lr=base_lr,
+            decay_rate=args.decay_rate,
+            patience=args.patience_epochs,
+            cooldown=args.cooldown_epochs,
+            warmup_epochs=args.warmup_epochs,
+            warmup_lr=args.warmup_lr,
+            min_lr=args.min_lr,
+            mode="min" if decreasing_metric else "max",
+        )
+
+
+def scheduled_epochs(args) -> int:
+    """timm create_scheduler_v2 returns num_epochs = epochs + cooldown_epochs
+    for cycle schedules (cooldown = extra epochs at min lr after the cycle);
+    plateau consumes cooldown internally (ReduceLROnPlateau cooldown)."""
+    if getattr(args, "use_sched", False) and args.sched != "plateau":
+        return args.epochs + getattr(args, "cooldown_epochs", 0)
+    return args.epochs
 
 
 def make_schedule(
@@ -77,8 +233,14 @@ def make_schedule(
             n = jnp.sum(t >= milestones)
             return jnp.asarray(base_lr, jnp.float32) * (args.decay_rate**n)
         return fn
-    _logger.warning("Unsupported sched '%s'; falling back to constant lr", sched)
-    return lambda step: jnp.asarray(base_lr, jnp.float32)
+    if sched == "plateau":
+        # lr lives in the optimizer state (HostLRState), adjusted by the
+        # host-side PlateauController; the schedule function is identity so
+        # downstream code can still query "a schedule".
+        return lambda step: jnp.asarray(base_lr, jnp.float32)
+    raise ValueError(
+        f"Unsupported sched '{sched}' (supported: cosine, step, multistep, plateau)"
+    )
 
 
 def _no_decay_mask(params) -> Any:
@@ -138,7 +300,14 @@ def make_optimizer(
     else:
         raise ValueError(f"Unsupported optimizer: {args.opt}")
 
-    chain.append(optax.scale_by_schedule(lambda step: -schedule(step)))
+    if getattr(args, "use_sched", False) and getattr(args, "sched", "") == "plateau":
+        # metric-driven schedule: lr is a host-updatable device scalar
+        base_lr = float(schedule(jnp.zeros((), jnp.int32)))
+        warmup = getattr(args, "warmup_epochs", 0) > 0
+        init_lr = args.warmup_lr if warmup else base_lr
+        chain.append(scale_by_host_lr(init_lr))
+    else:
+        chain.append(optax.scale_by_schedule(lambda step: -schedule(step)))
     tx = optax.chain(*chain)
 
     if trainable_mask is not None:

@@ -56,17 +56,59 @@ def clamp_logit_scale(params: Any) -> Any:
     return {**params, "logit_scale": jnp.clip(params["logit_scale"], 0.0, LOG_100)}
 
 
-def _ema_update(ema, params, decay: float):
+def _ema_update(ema, params, decay):
     return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
 
 
-def _apply_updates(state: TrainState, grads, tx, ema_decay: Optional[float]):
+def schedule_count(opt_state, fallback_step):
+    """The count ``scale_by_schedule`` uses for the next update. Under
+    optax.MultiSteps (grad accumulation) the inner schedule advances once per
+    REAL update (``gradient_step``), not per micro-step — logging must read
+    the same counter or logged lr drifts from applied lr."""
+    if isinstance(opt_state, optax.MultiStepsState):
+        return opt_state.gradient_step
+    return fallback_step
+
+
+def _ema_decay_at(decay: float, warmup: bool, n_updates):
+    """timm ModelEmaV3.get_decay (ref train_mirror.py:787-799 passes
+    use_warmup=args.model_ema_warmup): with warmup the decay ramps as
+    1 - (1 + step/gamma)^-power (gamma=1, power=2/3, the karras EMA ramp),
+    clipped to [0, decay]; step<=0 -> decay 0 (first update copies params)."""
+    step = jnp.asarray(n_updates, jnp.float32) - 1.0
+    if warmup:
+        d = 1.0 - (1.0 + step) ** (-2.0 / 3.0)
+        d = jnp.clip(d, 0.0, decay)
+    else:
+        d = jnp.asarray(decay, jnp.float32)
+    return jnp.where(step <= 0.0, 0.0, d)
+
+
+def _apply_updates(
+    state: TrainState,
+    grads,
+    tx,
+    ema_decay: Optional[float],
+    ema_warmup: bool = False,
+):
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     params = clamp_logit_scale(params)
     ema_params = state.ema_params
     if ema_params is not None and ema_decay is not None:
-        ema_params = _ema_update(ema_params, params, ema_decay)
+        if isinstance(opt_state, optax.MultiStepsState):
+            # grad accumulation: EMA advances exactly once per REAL update
+            # (timm updates EMA per optimizer step, not per micro-batch)
+            did_update = opt_state.mini_step == 0
+            n_updates = opt_state.gradient_step  # post-update count
+            d = _ema_decay_at(ema_decay, ema_warmup, n_updates)
+            new_ema = _ema_update(ema_params, params, d)
+            ema_params = jax.tree.map(
+                lambda n, o: jnp.where(did_update, n, o), new_ema, ema_params
+            )
+        else:
+            d = _ema_decay_at(ema_decay, ema_warmup, state.step + 1)
+            ema_params = _ema_update(ema_params, params, d)
     return state.replace(
         step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema_params
     )
@@ -88,6 +130,7 @@ def make_mirror_train_step(
     wsi_mask_ratio: float = 0.75,
     rna_mask_ratio: float = 0.75,
     ema_decay: Optional[float] = None,
+    ema_warmup: bool = False,
     schedule: Optional[Callable] = None,
     alignment_loss_fn: Optional[Callable] = None,
 ) -> Callable:
@@ -116,7 +159,7 @@ def make_mirror_train_step(
             return losses[0], losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params0)
-        new_state = _apply_updates(state, grads, tx, ema_decay)
+        new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {
             "loss": loss,
             "alignment_loss": losses[1],
@@ -129,7 +172,10 @@ def make_mirror_train_step(
             ),
         }
         if schedule is not None:
-            metrics["lr"] = schedule(state.step)
+            # read the SAME counter the optimizer's scale_by_schedule uses
+            # (under grad accumulation that's the real-update count, not the
+            # micro-step count) so logged lr == applied lr
+            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
         return new_state, metrics
 
     return train_step
@@ -143,7 +189,12 @@ def make_mirror_eval_step(
 ) -> Callable:
     """Validation forward (train_mirror.py:1382-1526). Dropout is off but
     masking noise and VAE sampling stay stochastic, exactly like torch
-    model.eval() which only disables dropout."""
+    model.eval() which only disables dropout.
+
+    Tail batches not divisible by the device count are padded by the loader
+    and masked here via ``batch["valid"]`` — the loss over the padded batch
+    equals the unpadded loss exactly (incl. contrastive negatives), while the
+    batch still shards over all chips and XLA compiles a single shape."""
 
     def eval_step(params, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -154,7 +205,7 @@ def make_mirror_eval_step(
             True,  # deterministic: no dropout
             rngs=rngs,
         )
-        losses = mirror_loss(*out, weights=loss_weights)
+        losses = mirror_loss(*out, weights=loss_weights, valid=batch.get("valid"))
         return {
             "loss": losses[0],
             "alignment_loss": losses[1],
@@ -177,6 +228,7 @@ def make_clip_train_step(
     temperature: float = 0.1,
     symmetric: bool = False,
     ema_decay: Optional[float] = None,
+    ema_warmup: bool = False,
 ) -> Callable:
     """InfoNCE dual-encoder pretraining (ref train_pretrain.py:1119-1122,
     873-875; expects model(wsi, rna) -> (wsi_emb, rna_emb))."""
@@ -193,7 +245,7 @@ def make_clip_train_step(
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = _apply_updates(state, grads, tx, ema_decay)
+        new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         return new_state, {"loss": loss}
 
     return train_step
@@ -205,7 +257,10 @@ def make_clip_eval_step(model, temperature: float = 0.1, symmetric: bool = False
         wsi_emb, rna_emb = model.apply(
             {"params": params}, batch["wsi"], batch["rna"], True, rngs=rngs
         )
-        loss = info_nce(wsi_emb, rna_emb, temperature=temperature, symmetric=symmetric)
+        loss = info_nce(
+            wsi_emb, rna_emb, temperature=temperature, symmetric=symmetric,
+            valid=batch.get("valid"),
+        )
         return {"loss": loss}
 
     return eval_step
@@ -235,6 +290,7 @@ def make_classifier_train_step(
     smoothing: float = 0.0,
     wsi_only: bool = False,
     ema_decay: Optional[float] = None,
+    ema_warmup: bool = False,
 ) -> Callable:
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -247,7 +303,7 @@ def make_classifier_train_step(
             return smoothed_xent(logits, batch["label"], smoothing)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = _apply_updates(state, grads, tx, ema_decay)
+        new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         return new_state, {"loss": loss}
 
     return train_step
@@ -276,6 +332,7 @@ def make_survival_train_step(
     loss_alpha: float = 0.0,
     wsi_only: bool = False,
     ema_decay: Optional[float] = None,
+    ema_warmup: bool = False,
 ) -> Callable:
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -292,7 +349,7 @@ def make_survival_train_step(
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = _apply_updates(state, grads, tx, ema_decay)
+        new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         return new_state, {"loss": loss}
 
     return train_step

@@ -36,6 +36,38 @@ def test_run_jobs_reports_failures():
     assert codes == [0, 3]
 
 
+def test_run_jobs_pins_distinct_slots_into_child_env(tmp_path):
+    """Each child must see ITS slot's chip visibility (the reference pins
+    CUDA_VISIBLE_DEVICES per job, pretrain_job_launcher.py:86)."""
+    # the sleep guarantees the two pool threads overlap, so both slots are
+    # in use simultaneously
+    code = (
+        "import os,sys,time; time.sleep(0.4); open(sys.argv[1],'w').write("
+        "os.environ.get('TPU_VISIBLE_CHIPS','MISSING'))"
+    )
+    outs = [str(tmp_path / f"env_{i}.txt") for i in range(4)]
+    codes = run_jobs(
+        [[sys.executable, "-c", code, o] for o in outs],
+        slots=["0", "1"],
+    )
+    assert codes == [0, 0, 0, 0]
+    seen = {open(o).read() for o in outs}
+    assert "MISSING" not in seen
+    assert seen <= {"0", "1"}
+    assert len(seen) == 2  # both slots actually pinned
+
+
+def test_cpu_slot_forces_platform_env(tmp_path):
+    code = (
+        "import os,sys; open(sys.argv[1],'w').write("
+        "os.environ.get('MIRROR_PLATFORM','MISSING'))"
+    )
+    out = str(tmp_path / "env.txt")
+    codes = run_jobs([[sys.executable, "-c", code, out]], slots=["cpu"])
+    assert codes == [0]
+    assert open(out).read() == "cpu"
+
+
 @pytest.mark.slow
 def test_pretrain_launcher_then_evaluator(tmp_path):
     cohort = make_synthetic_cohort(

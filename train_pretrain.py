@@ -77,13 +77,21 @@ def main(argv=None):
 
     dataset.train()
     train_loader = Loader(
-        dataset, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+        dataset, args.batch_size, shuffle=True, drop_last=True, seed=args.seed,
+        native_threads=args.workers,
     )
-    steps_per_epoch = max(len(train_loader), 1)
+    updates_per_epoch = max(
+        (len(train_loader) + args.grad_accum_steps - 1) // args.grad_accum_steps, 1
+    )
 
     lr = resolve_lr(args, args.batch_size)
-    schedule = make_schedule(args, steps_per_epoch, lr)
+    schedule = make_schedule(args, updates_per_epoch, lr)
     tx = make_optimizer(args, schedule)
+    lr_controller = None
+    if args.use_sched and args.sched == "plateau":
+        from mirror_tpu.train.optim import PlateauController
+
+        lr_controller = PlateauController.from_args(args, lr, decreasing_metric=True)
     state = create_train_state(params, tx, model_ema=args.model_ema)
     start_epoch = 0
     if args.initial_checkpoint:
@@ -100,32 +108,31 @@ def main(argv=None):
     train_step = make_clip_train_step(
         model, tx, temperature=args.temperature,
         ema_decay=args.model_ema_decay if args.model_ema else None,
+        ema_warmup=args.model_ema_warmup,
     )
     eval_step = jax.jit(make_clip_eval_step(model, temperature=args.temperature))
 
     eval_fn = None
     if args.val and args.split_dir is not None:
         val_batch = args.validation_batch_size or args.batch_size
+        # pad+mask the tail so eval shards over all chips with one compiled
+        # shape; info_nce's valid mask keeps the contrastive loss exact
+        val_batch = ((val_batch + n_devices - 1) // n_devices) * n_devices
 
         def eval_fn(state, epoch, root_rng):
             val_ds = dataset.val()
             loader = Loader(
-                val_ds, val_batch, shuffle=False, drop_last=False, pad_last=False,
-                seed=args.seed,
+                val_ds, val_batch, shuffle=False, drop_last=False, pad_last=True,
+                seed=args.seed, native_threads=args.workers,
             )
             meters = {}
             for i, host_batch in enumerate(loader):
-                host_batch.pop("valid", None)
-                bs = host_batch["wsi"].shape[0]
-                batch = (
-                    shard_batch(mesh, host_batch)
-                    if bs % n_devices == 0
-                    else jax.device_put(host_batch)
-                )
+                n_valid = int(host_batch["valid"].sum())
+                batch = shard_batch(mesh, host_batch)
                 step_rng = jax.random.fold_in(root_rng, 20_000_000 + epoch * 10_000 + i)
                 metrics = eval_step(state.params, batch, step_rng)
                 for k, v in metrics.items():
-                    meters.setdefault(k, AverageMeter()).update(float(v), bs)
+                    meters.setdefault(k, AverageMeter()).update(float(v), n_valid)
             dataset.train()
             return {k: m.avg for k, m in meters.items()}
 
@@ -135,9 +142,12 @@ def main(argv=None):
             out_dir, arch=args.model, args_text=args_text,
             decreasing=True, max_history=args.checkpoint_hist,
         )
+    from mirror_tpu.train.optim import scheduled_epochs
+
     harness = TrainHarness(
         args, mesh, state, train_step, train_loader, eval_fn, saver, out_dir,
         rng, eval_metric="loss", decreasing_metric=True, schedule=schedule,
+        lr_controller=lr_controller, num_epochs=scheduled_epochs(args),
     )
     return harness.run()
 

@@ -27,6 +27,7 @@ from mirror_tpu.train import (
     load_pretrained,
     make_optimizer,
     make_schedule,
+    scheduled_epochs,
     resume_checkpoint,
 )
 from mirror_tpu.train.metrics import concordance_index_censored
@@ -104,13 +105,23 @@ def main(argv=None):
     train_loader = Loader(
         dataset, batch_size, shuffle=not args.weighted_sampler,
         drop_last=args.drop_last, weighted=args.weighted_sampler, seed=args.seed,
+        native_threads=args.workers,
     )
-    steps_per_epoch = max(len(train_loader), 1)
+    updates_per_epoch = max(
+        (len(train_loader) + args.grad_accum_steps - 1) // args.grad_accum_steps, 1
+    )
 
     lr = resolve_lr(args, batch_size)
-    schedule = make_schedule(args, steps_per_epoch, lr)
+    schedule = make_schedule(args, updates_per_epoch, lr)
     trainable_mask = head_only_mask(params) if args.linear_probe else None
     tx = make_optimizer(args, schedule, trainable_mask=trainable_mask)
+    lr_controller = None
+    if args.use_sched and args.sched == "plateau":
+        from mirror_tpu.train.optim import PlateauController
+
+        lr_controller = PlateauController.from_args(
+            args, lr, decreasing_metric=args.eval_metric == "loss"
+        )
     state = create_train_state(params, tx, model_ema=args.model_ema)
     start_epoch = 0
     if args.resume:
@@ -124,15 +135,17 @@ def main(argv=None):
         model, tx, loss_name=args.loss, loss_alpha=args.loss_alpha,
         wsi_only=args.wsi_feature_only,
         ema_decay=args.model_ema_decay if args.model_ema else None,
+        ema_warmup=args.model_ema_warmup,
     )
     eval_step = jax.jit(make_survival_eval_step(model, args.wsi_feature_only))
 
     def eval_fn(state, epoch, root_rng):
         val_ds = dataset.val()
         val_batch = args.validation_batch_size or batch_size
+        val_batch = ((val_batch + n_devices - 1) // n_devices) * n_devices
         loader = Loader(
             val_ds, val_batch, shuffle=False, drop_last=False, pad_last=True,
-            seed=args.seed,
+            seed=args.seed, native_threads=args.workers,
         )
         logits_all, labels_all, times_all, censor_all = [], [], [], []
         for host_batch in loader:
@@ -178,6 +191,8 @@ def main(argv=None):
         eval_metric=args.eval_metric,
         decreasing_metric=args.eval_metric == "loss",
         schedule=schedule,
+        lr_controller=lr_controller,
+        num_epochs=scheduled_epochs(args),
     )
     return harness.run()
 
