@@ -171,7 +171,15 @@ class NystromAttention(nn.Module):
         )
         attn2 = jax.nn.softmax(sim2, axis=-1)
         attn2 = attn2.astype(self.dtype or jnp.float32)
-        attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
+        if self.use_pallas:
+            # fused kernel: all 6 iterations VMEM-resident with an in-kernel
+            # backward sweep — the XLA version was 45% of the train step
+            # (ablation in scripts/ablate_step.py; kernel in ops/pinv_pallas)
+            from mirror_tpu.ops.pinv_pallas import moore_penrose_pinv_pallas
+
+            attn2_inv = moore_penrose_pinv_pallas(attn2, self.pinv_iterations)
+        else:
+            attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
 
         if self.use_pallas:
             from mirror_tpu.ops.nystrom_pallas import (
@@ -191,15 +199,16 @@ class NystromAttention(nn.Module):
             # grad parity tests) for configs where it wins.
             out_hm = softmax_matmul_landmark_q(q, k_l, w.astype(q.dtype))
             if self.residual and not _ABLATE_RES_CONV:
+                # banded-matmul Pallas conv: the XLA depthwise conv's
+                # fwd+bwd was 48.8 ms/step at B=64 (ablation); the MXU
+                # band formulation runs it in a few ms (ops/conv1d_pallas)
+                from mirror_tpu.ops.conv1d_pallas import depthwise_conv1d_seq
+
                 res_kernel = self._res_kernel(h)
                 cdt = self.dtype or jnp.float32
-                res = jax.lax.conv_general_dilated(
-                    v.astype(cdt),
-                    res_kernel.astype(cdt),
-                    window_strides=(1, 1),
-                    padding=((self.residual_conv_kernel // 2,) * 2, (0, 0)),
-                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                    feature_group_count=h,
+                kern2d = res_kernel.reshape(h, self.residual_conv_kernel)
+                res = depthwise_conv1d_seq(
+                    v.astype(cdt), kern2d.astype(cdt)
                 ).astype(out_hm.dtype)
                 out_hm = out_hm + res
             out = out_hm.transpose(0, 2, 1, 3).astype(x.dtype)  # [b,n,h,dh]

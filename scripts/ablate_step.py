@@ -6,6 +6,7 @@ attribution doesn't). Scan-timed like bench.py.
 Usage: python scripts/ablate_step.py [full|nopinv|noppeg|noresconv|fwdonly|noln] ...
 """
 
+import functools
 import os
 import sys
 import time
@@ -17,7 +18,9 @@ import jax.numpy as jnp
 
 
 def timed(step_fn, state, batch, n_steps=10, reps=3):
-    @jax.jit
+    import os
+    del os
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def multi(state, b, rng):
         def body(carry, i):
             st, _ = carry
@@ -41,10 +44,14 @@ def timed(step_fn, state, batch, n_steps=10, reps=3):
     return times[len(times) // 2]
 
 
+import os
+
+
 def build(fwd_only=False):
     from scripts.profile_step import build_step
 
-    return build_step(64, use_pallas=True, fwd_only=fwd_only)
+    batch = int(os.environ.get("ABLATE_BATCH", "64"))
+    return build_step(batch, use_pallas=True, fwd_only=fwd_only)
 
 
 def main():
@@ -58,7 +65,13 @@ def main():
         orig_ppeg_call = transmil_mod.PPEG.__call__
         try:
             if mode == "nopinv":
+                import mirror_tpu.ops.pinv_pallas as pp
+
                 nystrom_mod.moore_penrose_pinv = (
+                    lambda x, iters=6: jnp.swapaxes(x, -1, -2)
+                )
+                pp_orig = pp.moore_penrose_pinv_pallas
+                pp.moore_penrose_pinv_pallas = (
                     lambda x, iters=6: jnp.swapaxes(x, -1, -2)
                 )
             elif mode == "noppeg":
@@ -66,9 +79,10 @@ def main():
             elif mode == "noresconv":
                 nystrom_mod._ABLATE_RES_CONV = True
             step, state, batch = build(fwd_only=(mode == "fwdonly"))
+            bsz = batch["wsi"].shape[0]
             dt = timed(step, state, batch)
             results[mode] = dt
-            print(f"{mode:12s} {dt*1000:8.1f} ms/step   {64/dt:8.1f} samples/s",
+            print(f"{mode:12s} {dt*1000:8.1f} ms/step   {bsz/dt:8.1f} samples/s",
                   flush=True)
         finally:
             nystrom_mod.moore_penrose_pinv = orig_pinv

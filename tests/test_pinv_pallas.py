@@ -1,0 +1,74 @@
+"""Parity of the fused Pallas Moore-Penrose pinv (value + gradients) against
+the XLA implementation it replaces (models/nystrom.py::moore_penrose_pinv).
+Runs in interpret mode on the CPU mesh; the same code path compiles on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_tpu.models.nystrom import moore_penrose_pinv
+from mirror_tpu.ops.pinv_pallas import moore_penrose_pinv_pallas
+
+
+def _softmax_like_input(key, b, h, m, dtype):
+    sim = jax.random.normal(key, (b, h, m, m), jnp.float32)
+    return jax.nn.softmax(sim, axis=-1).astype(dtype)
+
+
+def test_pinv_pallas_value_parity_bf16():
+    """bf16 rounding differences get amplified through 6 Newton iterations of
+    an ill-conditioned inverse, so elementwise closeness is not meaningful at
+    bf16 — compare the FUNCTIONAL quality: x @ pinv(x) must approximate I at
+    least as well as the XLA version's does."""
+    x = _softmax_like_input(jax.random.PRNGKey(0), 2, 3, 128, jnp.bfloat16)
+    xf = np.asarray(x, np.float32)
+    ref = np.asarray(moore_penrose_pinv(x, 6), np.float32)
+    out = np.asarray(moore_penrose_pinv_pallas(x, 6), np.float32)
+    eye = np.eye(128)
+    err_ref = np.abs(xf @ ref - eye).max()
+    err_out = np.abs(xf @ out - eye).max()
+    assert err_out < max(1.5 * err_ref, 0.05), (err_out, err_ref)
+    # magnitudes agree (same algorithm, same scaling)
+    assert np.abs(out).max() < 2.0 * np.abs(ref).max() + 1.0
+
+
+def test_pinv_pallas_value_parity_fp32():
+    x = _softmax_like_input(jax.random.PRNGKey(1), 1, 2, 128, jnp.float32)
+    ref = moore_penrose_pinv(x, 6)
+    out = moore_penrose_pinv_pallas(x, 6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-4)
+
+
+def test_pinv_pallas_grad_parity():
+    x = _softmax_like_input(jax.random.PRNGKey(2), 1, 2, 128, jnp.float32)
+    t = jax.random.normal(jax.random.PRNGKey(3), x.shape, jnp.float32)
+
+    def loss_ref(x):
+        return jnp.sum(moore_penrose_pinv(x, 6) * t)
+
+    def loss_pal(x):
+        return jnp.sum(moore_penrose_pinv_pallas(x, 6) * t)
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_pal = jax.grad(loss_pal)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), rtol=5e-3, atol=1e-3
+    )
+
+
+def test_pinv_pallas_grad_parity_bf16():
+    x = _softmax_like_input(jax.random.PRNGKey(4), 1, 2, 128, jnp.bfloat16)
+    t = jax.random.normal(jax.random.PRNGKey(5), x.shape, jnp.float32)
+
+    def loss_ref(x):
+        return jnp.sum(moore_penrose_pinv(x, 6).astype(jnp.float32) * t)
+
+    def loss_pal(x):
+        return jnp.sum(moore_penrose_pinv_pallas(x, 6).astype(jnp.float32) * t)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(x), np.float32)
+    g_pal = np.asarray(jax.grad(loss_pal)(x), np.float32)
+    # bf16 grads: compare direction + magnitude coarsely
+    denom = np.abs(g_ref).max() + 1e-8
+    assert np.abs(g_pal - g_ref).max() / denom < 0.08
