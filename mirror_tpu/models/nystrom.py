@@ -149,28 +149,31 @@ class NystromAttention(nn.Module):
         if self.use_pallas:
             # head-major q/k/v straight out of the projection einsum: the
             # [b,n,h,dh] -> [b,h,n,dh] relayout folds into the GEMM output
-            # (explicit transposes were 22% of encoder time in the profile)
+            # (explicit transposes were 22% of encoder time in the profile).
+            # Landmark means + landmark softmax run fused in VMEM
+            # (ops/landmark_pallas) — XLA materialized fp32 copies of the
+            # full q/k streams and kept fp32 [m,m] softmax tensors for the
+            # backward (~1 GB/layer of fp32 HBM, see the kernel docstring).
+            from mirror_tpu.ops.landmark_pallas import landmark_softmax
+
             q, k, v = proj(x, head_major=True)
             q = q * scale
-            q_l = jnp.mean(q.reshape(b, h, m, l, dh), axis=3)
-            k_l = jnp.mean(k.reshape(b, h, m, l, dh), axis=3)
+            q_l, k_l, attn2 = landmark_softmax(q, k, m)
         else:
             q, k, v = proj(x, head_major=False)  # each [b, n, h, dh]
             q = q * scale
             q_l = jnp.mean(q.reshape(b, m, l, h, dh), axis=2)
             k_l = jnp.mean(k.reshape(b, m, l, h, dh), axis=2)
 
-        # attn2^+ : [b, h, m, m] — small; stays in XLA for the global-max
-        # scaling quirk of the reference pinv. The iteration runs in the
-        # compute dtype: under AMP the torch reference's pinv matmuls are
-        # fp16 (autocast), so bf16 here is the faithful (and 4x faster on
-        # the MXU) equivalent; fp32 mode keeps it fp32.
-        landmark_eq = "bhid,bhjd->bhij" if self.use_pallas else "bihd,bjhd->bhij"
-        sim2 = jnp.einsum(
-            landmark_eq, q_l, k_l, preferred_element_type=jnp.float32
-        )
-        attn2 = jax.nn.softmax(sim2, axis=-1)
-        attn2 = attn2.astype(self.dtype or jnp.float32)
+            # attn2^+ : [b, h, m, m] — small. The iteration runs in the
+            # compute dtype: under AMP the torch reference's pinv matmuls
+            # are fp16 (autocast), so bf16 here is the faithful (and 4x
+            # faster on the MXU) equivalent; fp32 mode keeps it fp32.
+            sim2 = jnp.einsum(
+                "bihd,bjhd->bhij", q_l, k_l, preferred_element_type=jnp.float32
+            )
+            attn2 = jax.nn.softmax(sim2, axis=-1)
+            attn2 = attn2.astype(self.dtype or jnp.float32)
         if self.use_pallas:
             # fused kernel: all 6 iterations VMEM-resident with an in-kernel
             # backward sweep — the XLA version was 45% of the train step
