@@ -78,7 +78,14 @@ def _cp_core(q, k, v, res_kernel, num_landmarks, pinv_iterations, axis_name):
 
     # r3 = softmax(q_l k^T over the FULL n) @ v  — distributed exact softmax
     sim3 = jnp.einsum("ihd,jhd->hij", q_l, k, preferred_element_type=jnp.float32)
-    gmax = jax.lax.pmax(jnp.max(sim3, axis=-1), axis_name)  # [h, m]
+    # global max = max over the all_gathered per-chip maxes ([P, h, m],
+    # tiny). all_gather is differentiable (pmax has no AD rules at all);
+    # the stop_gradient is exact — the max is only a stability shift and
+    # softmax is shift-invariant, so its gradient contribution cancels.
+    local_max = jnp.max(sim3, axis=-1)  # [h, m]
+    gmax = jax.lax.stop_gradient(
+        jnp.max(jax.lax.all_gather(local_max, axis_name), axis=0)
+    )  # [h, m]
     e = jnp.exp(sim3 - gmax[..., None])
     denom = jax.lax.psum(jnp.sum(e, axis=-1), axis_name)  # [h, m]
     numer = jax.lax.psum(
@@ -93,17 +100,31 @@ def _cp_core(q, k, v, res_kernel, num_landmarks, pinv_iterations, axis_name):
     attn1 = jax.nn.softmax(sim1, axis=-1).astype(w.dtype)
     out = jnp.einsum("hij,hjd->ihd", attn1, w)  # [n_loc, h, dh]
 
-    # depthwise conv residual with ring halo exchange
+    # depthwise conv residual. Normal (whole-slide) case: a ring halo
+    # exchange of K//2 tokens. Degenerate case n_loc < halo (tiny shards):
+    # gather the full value sequence, conv locally, keep our block.
     K = res_kernel.shape[2]
     halo = K // 2
-    v_ext = _halo_exchange(v, halo, axis_name)  # [n_loc + 2*halo, h, dh]
-    res = jax.lax.conv_general_dilated(
-        v_ext[None].transpose(0, 2, 1, 3).astype(jnp.float32),  # [1,h,n+2halo,dh]
-        res_kernel.astype(jnp.float32),
-        (1, 1), ((0, 0), (0, 0)),  # VALID: halos supply the context
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=h,
-    )[0].transpose(1, 0, 2).astype(out.dtype)
+    if n_loc >= halo:
+        v_ext = _halo_exchange(v, halo, axis_name)  # [n_loc + 2*halo, h, dh]
+        res = jax.lax.conv_general_dilated(
+            v_ext[None].transpose(0, 2, 1, 3).astype(jnp.float32),
+            res_kernel.astype(jnp.float32),
+            (1, 1), ((0, 0), (0, 0)),  # VALID: halos supply the context
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=h,
+        )[0].transpose(1, 0, 2).astype(out.dtype)
+    else:
+        v_full = jax.lax.all_gather(v, axis_name, tiled=True)  # [n, h, dh]
+        res_full = jax.lax.conv_general_dilated(
+            v_full[None].transpose(0, 2, 1, 3).astype(jnp.float32),
+            res_kernel.astype(jnp.float32),
+            (1, 1), ((halo, halo), (0, 0)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=h,
+        )[0].transpose(1, 0, 2).astype(out.dtype)
+        idx = jax.lax.axis_index(axis_name)
+        res = jax.lax.dynamic_slice_in_dim(res_full, idx * n_loc, n_loc, 0)
     return out + res
 
 
@@ -129,9 +150,11 @@ def nystrom_attention_cp(
     p_size = mesh.shape[axis_name]
     dim_head = dim_head or d // heads
     inner = heads * dim_head
-    assert n % (num_landmarks * p_size) == 0, (
-        f"sequence {n} must be a multiple of landmarks*chips "
-        f"({num_landmarks}*{p_size})"
+    # n % m == 0 and P | m imply P | n and chip boundaries align with whole
+    # landmark groups — so CP uses the SAME padding/grouping as the
+    # single-device NystromAttention and the outputs match exactly.
+    assert n % num_landmarks == 0, (
+        f"sequence {n} must be a multiple of num_landmarks ({num_landmarks})"
     )
     assert num_landmarks % p_size == 0
 
@@ -166,3 +189,93 @@ def nystrom_attention_cp(
     )
     x = jax.device_put(x, NamedSharding(mesh, P(axis_name)))
     return fn(x)
+
+
+# ---------------------------------------------------------------------------
+# Whole-slide TransMIL encoding (the user-facing capability): run the FULL
+# FeatureTransMIL encoder over every patch of a slide — no 2048-token
+# subsampling (the reference's cap, datasets/dataset_pretrain.py:157-161) —
+# with the token axis sharded across chips. The attention core runs in
+# shard_map (exact distributed softmax above); the pointwise pieces (fc1,
+# LayerNorm, PPEG convs) are plain jnp under jit so GSPMD partitions them.
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _ppeg(x, p, side, dtype):
+    """PPEG forward from raw flax params (models/transmil.py::PPEG): three
+    depthwise convs (7/5/3) + identity over the token grid; cls bypasses."""
+    cls_t, feat = x[:1], x[1:]
+    c = feat.shape[-1]
+    img = feat.reshape(1, side, side, c).astype(dtype)
+    out = img
+    for name in ("proj", "proj1", "proj2"):
+        kern = p[name]["kernel"].astype(dtype)  # HWIO [k, k, 1, c] grouped
+        bias = p[name]["bias"].astype(dtype)
+        k = kern.shape[0]
+        conv = jax.lax.conv_general_dilated(
+            img, kern, (1, 1), ((k // 2, k // 2), (k // 2, k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        ) + bias
+        out = out + conv
+    return jnp.concatenate([cls_t, out.reshape(side * side, c).astype(x.dtype)], axis=0)
+
+
+def transmil_encode_cp(
+    params: dict,
+    tokens: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "data",
+    heads: int = 8,
+    pinv_iterations: int = 6,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Encode ONE whole slide: tokens [n, input_dim] (ALL patches, any n).
+
+    ``params`` is a FeatureTransMIL(Hybrid) param dict (fc1 / cls_token /
+    layer1 / pos_layer / layer2 / norm). Returns the full normed sequence
+    [1 + side^2, embed_dim]; row 0 is the cls/slide embedding. Semantics
+    match FeatureTransMIL.encode exactly (wrap square pad, ref
+    models/mirror.py:357-378), sharded over the mesh's ``axis_name``.
+    """
+    import math as _math
+
+    fc1_k = params["fc1"]["kernel"].astype(dtype)
+    fc1_b = params["fc1"]["bias"].astype(dtype)
+    d = fc1_k.shape[1]
+    m = d // 2
+    p_size = mesh.shape[axis_name]
+
+    h = jax.nn.relu(tokens.astype(dtype) @ fc1_k + fc1_b)
+    n = h.shape[0]
+    side = int(_math.ceil(_math.sqrt(n)))
+    add = side * side - n
+    if add > 0:
+        h = jnp.concatenate([h, h[:add]], axis=0)  # wrap pad (ref :357-361)
+    cls = params["cls_token"][0].astype(dtype)
+    x = jnp.concatenate([cls, h], axis=0)  # [side^2 + 1, d]
+
+    def attn_block(x, layer_params):
+        y = _layer_norm(x, layer_params["norm"])
+        seq = y.shape[0]
+        pad = (-seq) % m  # front-pad to a landmark multiple, like the module
+        y = jnp.pad(y, ((pad, 0), (0, 0)))
+        out = nystrom_attention_cp(
+            y, layer_params["attn"], mesh, axis_name=axis_name,
+            heads=heads, num_landmarks=m, pinv_iterations=pinv_iterations,
+            dtype=dtype,
+        )
+        return x + out[pad:]
+
+    x = attn_block(x, params["layer1"])
+    x = _ppeg(x, params["pos_layer"], side, dtype)
+    x = attn_block(x, params["layer2"])
+    return _layer_norm(x, params["norm"])

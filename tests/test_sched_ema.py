@@ -6,7 +6,6 @@ plateau/cooldown/patience parsed but unimplemented (missing #2), EMA warmup
 ignored (missing #3).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
