@@ -97,18 +97,24 @@ def main():
         )
         return state, loss
 
-    lowered = multi.lower(state, batch_dict, jax.random.PRNGKey(1))
-    compiled = lowered.compile()
+    # FLOPs from a SINGLE unscanned step: XLA's cost analysis counts a scan
+    # body once regardless of trip count, so the scanned program can't be
+    # used. Pallas kernels contribute their CostEstimates.
     flops_per_step = None
     try:
-        ca = compiled.cost_analysis()
+        single = jax.jit(train_step).lower(
+            state, batch_dict, jax.random.PRNGKey(1)
+        ).compile()
+        ca = single.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and "flops" in ca:
-            flops_per_step = float(ca["flops"]) / n_steps
+            flops_per_step = float(ca["flops"])
+        del single
     except Exception:
         pass
 
+    compiled = multi.lower(state, batch_dict, jax.random.PRNGKey(1)).compile()
     state, loss = compiled(state, batch_dict, jax.random.PRNGKey(1))
     float(loss)  # warmup + settle
     times = []
