@@ -58,8 +58,14 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--grad-accum-steps", type=int, default=1)
     g.add_argument("--grad-checkpointing", action="store_true", default=False)
     g.add_argument("--model-kwargs", nargs="*", default={}, action=ParseKwargs)
-    g.add_argument("--use-pallas", action="store_true", default=False,
-                   help="fused Pallas TPU kernel for Nystrom attention")
+    # default None -> resolved to True on TPU backends, False elsewhere
+    # (entry points call resolve_use_pallas); the fused kernels are the
+    # measured-faster flagship path (BASELINE.md: 77.6 -> 203.7 samples/s)
+    g.add_argument("--use-pallas", action="store_true", default=None,
+                   help="fused Pallas TPU kernels (Nystrom attention, "
+                        "Moore-Penrose pinv, landmark softmax, res-conv); "
+                        "default: on for TPU backends")
+    g.add_argument("--no-use-pallas", action="store_false", dest="use_pallas")
 
     g = parser.add_argument_group("Device")
     g.add_argument("--device", type=str, default="tpu")
@@ -215,6 +221,18 @@ def parse_args(
     args.config = cfg_args.config
     args_text = yaml.safe_dump(vars(args), default_flow_style=False)
     return args, args_text
+
+
+def resolve_use_pallas(args: argparse.Namespace) -> bool:
+    """--use-pallas default: the fused TPU kernels on TPU, dense math
+    elsewhere (the kernels run in slow interpret mode off-TPU)."""
+    if args.use_pallas is None:
+        import jax
+
+        args.use_pallas = jax.default_backend() == "tpu"
+        if args.use_pallas:
+            _logger.info("use_pallas defaulted to True (TPU backend)")
+    return args.use_pallas
 
 
 def resolve_lr(args: argparse.Namespace, global_batch_size: int) -> float:

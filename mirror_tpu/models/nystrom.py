@@ -256,17 +256,7 @@ class NystromAttention(nn.Module):
         out = dense(
             d, inner, kernel_init=kernel_init, name="to_out", dtype=self.dtype
         )(out)
-        if self.dropout > 0.0 and not deterministic:
-            # nn.Dropout semantics, but rematerialized: jax.checkpoint makes
-            # the backward regenerate the bernoulli mask from the key instead
-            # of XLA saving a [b, n_pad, d] pred tensor per site (3 sites
-            # per step; saved masks showed up as 7.4 ms of fusions + copies)
-            rng = self.make_rng("dropout")
-            keep_prob = 1.0 - self.dropout
+        from .layers import RematDropout
 
-            def _drop(x, key):
-                mask = jax.random.bernoulli(key, keep_prob, x.shape)
-                return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
-
-            out = jax.checkpoint(_drop)(out, rng)
+        out = RematDropout(self.dropout, name="out_dropout")(out, deterministic)
         return out[:, -n:]  # drop the front padding

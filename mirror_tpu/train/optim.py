@@ -157,6 +157,13 @@ class PlateauController:
         lr = self.epoch_lr(epoch, metric)
         return state.replace(opt_state=set_host_lr(state.opt_state, lr))
 
+    def sync_from_state(self, state) -> None:
+        """Adopt the lr restored from a checkpoint (--resume): the HostLRState
+        scalar in opt_state survives serialization but this controller's
+        host-side counters don't — without this, the first plateau decision
+        after a resume would silently jump the lr back to base_lr."""
+        self.current_lr = get_host_lr(state.opt_state)
+
     @classmethod
     def from_args(cls, args, base_lr: float, decreasing_metric: bool = True):
         return cls(

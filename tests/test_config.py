@@ -103,3 +103,21 @@ def test_lr_autoscaling():
     assert resolve_lr(A, 64) == pytest.approx(0.1 * 64 / 256)
     A.lr = 5e-4
     assert resolve_lr(A, 64) == 5e-4  # explicit lr wins
+
+
+def test_use_pallas_default_resolution():
+    """--use-pallas defaults by backend (True on TPU, False elsewhere);
+    explicit flags override."""
+    from mirror_tpu.config import parse_args, resolve_use_pallas
+
+    args, _ = parse_args("pretrain", [])
+    assert args.use_pallas is None
+    assert resolve_use_pallas(args) is False  # tests force the CPU backend
+
+    args, _ = parse_args("pretrain", ["--use-pallas"])
+    assert args.use_pallas is True
+    assert resolve_use_pallas(args) is True
+
+    args, _ = parse_args("pretrain", ["--no-use-pallas"])
+    assert args.use_pallas is False
+    assert resolve_use_pallas(args) is False

@@ -200,3 +200,26 @@ def test_multisteps_state_detection():
     st = tx.init({"w": jnp.zeros(2)})
     assert isinstance(st, optax.MultiStepsState)
     assert int(schedule_count(st, jnp.int32(99))) == 0
+
+
+def test_plateau_sync_from_state_after_resume():
+    """Resume restores the HostLRState scalar; a fresh controller must adopt
+    it instead of jumping the lr back to base on its next decision."""
+    a = Args()
+    a.use_sched = True
+    a.sched = "plateau"
+    a.warmup_epochs = 0
+    sched = make_schedule(a, 4, base_lr=1e-2)
+    tx = make_optimizer(a, sched)
+    state = create_train_state({"w": jnp.array([1.0])}, tx, model_ema=False)
+    c = PlateauController(base_lr=1e-2, decay_rate=0.1, patience=0, mode="min")
+    state = c.step_epoch(state, 0, 1.0)
+    state = c.step_epoch(state, 1, 1.0)  # decay -> 1e-3
+    assert get_host_lr(state.opt_state) == pytest.approx(1e-3)
+
+    # "resume": a fresh controller over the restored state
+    c2 = PlateauController(base_lr=1e-2, decay_rate=0.1, patience=0, mode="min")
+    c2.sync_from_state(state)
+    assert c2.current_lr == pytest.approx(1e-3)
+    state = c2.step_epoch(state, 2, 1.0)  # first metric -> best, no decay
+    assert get_host_lr(state.opt_state) == pytest.approx(1e-3)  # NOT 1e-2

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mirror_tpu.config import parse_args, resolve_lr
+from mirror_tpu.config import parse_args, resolve_lr, resolve_use_pallas
 from mirror_tpu.data import Loader, SubtypingDataset
 from mirror_tpu.parallel import replicate, shard_batch
 from mirror_tpu.registry import create_model
@@ -96,7 +96,7 @@ def main(argv=None):
     model_kwargs["rna_embed_dim"] = dataset.rna_dim
     if args.amp:
         model_kwargs.setdefault("dtype", args.amp_dtype)
-    model_kwargs.setdefault("use_pallas", args.use_pallas)
+    model_kwargs.setdefault("use_pallas", resolve_use_pallas(args))
     model_kwargs.setdefault("grad_checkpointing", args.grad_checkpointing)
     if args.wsi_feature_only:
         model_kwargs.setdefault("fusion", "add")
@@ -158,6 +158,8 @@ def main(argv=None):
             state, args.resume, resume_opt=not args.no_resume_opt
         )
         args.start_epoch = start_epoch
+        if lr_controller is not None and not args.no_resume_opt:
+            lr_controller.sync_from_state(state)
     state = replicate(mesh, state)
 
     # smoothing > 0 selects LabelSmoothingCE, else plain CE
