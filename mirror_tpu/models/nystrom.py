@@ -194,12 +194,9 @@ class NystromAttention(nn.Module):
             # r3 = softmax(q_l k^T) v : [b, h, m, dh]
             r3 = softmax_matmul_landmark_kv(q_l, k, v)
             w = attn2_inv @ r3  # [b, h, m, dh], compute dtype
-            # NOTE: ops.nystrom_pallas.fused_softmax_attn_conv can fuse the
-            # depthwise value-conv residual into this kernel, but measured
-            # SLOWER end-to-end (102 vs 134 samples/s at B=64): the 33 serial
-            # VPU shifted-MACs stall the kernel's MXU pipeline, while XLA
-            # overlaps the separate conv with other work. Kept as an op (with
-            # grad parity tests) for configs where it wins.
+            # (an attn+conv megafusion was tried in round 1 and measured
+            # SLOWER — serial VPU MACs stalled the MXU pipeline; the banded-
+            # matmul conv below superseded it entirely)
             out_hm = softmax_matmul_landmark_q(q, k_l, w.astype(q.dtype))
             if self.residual and not _ABLATE_RES_CONV:
                 # banded-matmul Pallas conv: the XLA depthwise conv's

@@ -76,45 +76,6 @@ def test_nystrom_pallas_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
 
 
-def test_fused_softmax_attn_conv_grads():
-    """The attention+conv fused kernel's custom VJP must match autodiff of a
-    naive implementation for ALL five inputs."""
-    from mirror_tpu.ops.nystrom_pallas import fused_softmax_attn_conv
-
-    rng = np.random.default_rng(7)
-    b, h, n, m, d, K = 2, 3, 32, 8, 16, 7
-    q = jnp.array(rng.normal(size=(b, h, n, d)).astype(np.float32))
-    k = jnp.array(rng.normal(size=(b, h, m, d)).astype(np.float32))
-    w = jnp.array(rng.normal(size=(b, h, m, d)).astype(np.float32))
-    v = jnp.array(rng.normal(size=(b, h, n, d)).astype(np.float32))
-    kern = jnp.array(rng.normal(size=(h, K)).astype(np.float32))
-
-    def naive(q, k, w, v, kern):
-        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k)
-        attn = jax.nn.softmax(sim, -1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, w)
-        half = K // 2
-        vp = jnp.pad(v, ((0, 0), (0, 0), (half, half), (0, 0)))
-        res = sum(
-            kern[None, :, j, None, None]
-            * jax.lax.dynamic_slice_in_dim(vp, j, n, 2)
-            for j in range(K)
-        )
-        return out + res
-
-    got = np.asarray(fused_softmax_attn_conv(q, k, w, v, kern))
-    want = np.asarray(naive(q, k, w, v, kern))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-    g1 = jax.grad(lambda *a: jnp.sum(fused_softmax_attn_conv(*a) ** 2),
-                  argnums=(0, 1, 2, 3, 4))(q, k, w, v, kern)
-    g2 = jax.grad(lambda *a: jnp.sum(naive(*a) ** 2),
-                  argnums=(0, 1, 2, 3, 4))(q, k, w, v, kern)
-    for a, b2 in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
-                                   rtol=1e-4, atol=1e-4)
-
-
 def test_checkpoint_portable_across_backends():
     """Params trained with use_pallas=True must load into the dense model
     (and vice versa): identical param trees, near-identical outputs."""
