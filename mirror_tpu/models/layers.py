@@ -113,13 +113,36 @@ def l2_normalize(x: jax.Array, eps: Optional[float] = None) -> jax.Array:
     return (x / jnp.maximum(norm, eps).astype(x.dtype)).astype(x.dtype)
 
 
+def _rbg_bernoulli(key: jax.Array, keep_prob: float, shape) -> jax.Array:
+    """Bernoulli(keep_prob) mask from the TPU hardware RNG (XLA RngBitGenerator,
+    rbg algorithm) instead of threefry: the counter-based threefry hash costs
+    ~14 ms/step of u32[64,2304,768] xor/shift fusions across the three
+    attention-dropout sites of the MIRROR train step, while rbg bits stream at
+    near memory speed. Deterministic given the key (so a jax.checkpoint replay
+    regenerates the identical mask); the mask *values* differ from
+    jax.random.bernoulli's — dropout parity with the torch reference is
+    statistical either way (SURVEY hard-parts #2)."""
+    kd = key if key.dtype == jnp.uint32 else jax.random.key_data(key)
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    rbg_key = jnp.concatenate([kd, kd])[:4]  # 128-bit key from the 64-bit fold
+    _, bits = jax.lax.rng_bit_generator(
+        rbg_key, shape, dtype=jnp.uint32,
+        algorithm=jax.lax.RandomAlgorithm.RNG_DEFAULT,  # TPU hw generator
+    )
+    # P(bits < t) = t / 2^32; keep_prob < 1 here so t fits in uint32
+    thresh = jnp.uint32(int(round(keep_prob * 4294967296.0)))
+    return bits < thresh
+
+
 class RematDropout(nn.Module):
-    """nn.Dropout bit-equivalent (same scope path -> same make_rng fold ->
-    identical masks) whose bernoulli mask is REMATERIALIZED in the backward
-    pass via jax.checkpoint instead of being stored: XLA was keeping a
-    [b, n_pad, d] pred tensor per dropout site for the backward (7.4 ms of
-    fusions + copies per MIRROR train step across the three attention
-    sites)."""
+    """nn.Dropout-equivalent whose bernoulli mask is REMATERIALIZED in the
+    backward pass via jax.checkpoint instead of being stored: XLA was keeping
+    a [b, n_pad, d] pred tensor per dropout site for the backward (7.4 ms of
+    fusions + copies per MIRROR train step across the three attention sites).
+
+    On CPU (tests) the mask is bit-identical to nn.Dropout's (same scope path
+    -> same make_rng fold -> same threefry bits); on TPU the bits come from
+    the hardware rbg generator instead (see _rbg_bernoulli)."""
 
     rate: float
 
@@ -129,9 +152,13 @@ class RematDropout(nn.Module):
             return x
         rng = self.make_rng("dropout")
         keep_prob = 1.0 - self.rate
+        use_rbg = jax.default_backend() == "tpu"
 
         def _drop(x, key):
-            mask = jax.random.bernoulli(key, keep_prob, x.shape)
+            if use_rbg:
+                mask = _rbg_bernoulli(key, keep_prob, x.shape)
+            else:
+                mask = jax.random.bernoulli(key, keep_prob, x.shape)
             return jax.lax.select(
                 mask, x / jnp.asarray(keep_prob, x.dtype), jnp.zeros_like(x)
             )

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import dense, torch_default_init
+from .layers import dense, torch_bias_init, torch_default_init
 
 
 import functools
@@ -95,6 +95,37 @@ class _QKVProjection(nn.Module):
         k = qkv[..., inner : 2 * inner].reshape(b, n, self.heads, self.dim_head)
         v = qkv[..., 2 * inner :].reshape(b, n, self.heads, self.dim_head)
         return q, k, v
+
+
+class _OutProjection(nn.Module):
+    """Output projection with nn.Dense's exact param tree ("to_out"/kernel
+    [h*dh, d] + bias [d]) that consumes head-major [b, h, n, dh] directly:
+    out = einsum(bhne,heo->bno). The head-merge transpose folds into the GEMM
+    instead of materializing a [b, n, h, dh] relayout copy of the attention
+    output (+ its mirror in the backward)."""
+
+    out_features: int
+    heads: int
+    dim_head: int
+    kernel_init: callable
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_hm: jax.Array) -> jax.Array:
+        inner = self.heads * self.dim_head
+        kernel = self.param(
+            "kernel", self.kernel_init, (inner, self.out_features), jnp.float32
+        )
+        bias_init = (
+            jax.nn.initializers.zeros
+            if self.kernel_init is not torch_default_init
+            else torch_bias_init(inner)
+        )
+        bias = self.param("bias", bias_init, (self.out_features,), jnp.float32)
+        cdt = self.dtype or jnp.float32
+        w = kernel.reshape(self.heads, self.dim_head, self.out_features)
+        out = jnp.einsum("bhne,heo->bno", x_hm.astype(cdt), w.astype(cdt))
+        return out + bias.astype(cdt)
 
 
 class NystromAttention(nn.Module):
@@ -211,7 +242,18 @@ class NystromAttention(nn.Module):
                     v.astype(cdt), kern2d.astype(cdt)
                 ).astype(out_hm.dtype)
                 out_hm = out_hm + res
-            out = out_hm.transpose(0, 2, 1, 3).astype(x.dtype)  # [b,n,h,dh]
+            # head-major out-projection: head merge folds into the GEMM
+            out = _OutProjection(
+                out_features=d, heads=h, dim_head=dh,
+                kernel_init=kernel_init or torch_default_init,
+                dtype=self.dtype, name="to_out",
+            )(out_hm.astype(x.dtype))
+            from .layers import RematDropout
+
+            out = RematDropout(self.dropout, name="out_dropout")(
+                out, deterministic
+            )
+            return out[:, -n:]
         else:
             cdt = self.dtype or jnp.float32
             sim1 = jnp.einsum(
