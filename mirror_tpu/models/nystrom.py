@@ -87,9 +87,15 @@ class _QKVProjection(nn.Module):
         cdt = self.dtype or jnp.float32
         x = x.astype(cdt)
         if head_major:
+            # three separate GEMMs (weight statically sliced) instead of one
+            # packed [3,b,h,n,dh] einsum: the packed form made XLA produce
+            # the [3,...] tuple then copy out three slices (~8 ms/step of
+            # pure data movement at B=64 in the op profile)
             w = kernel.reshape(d, 3, self.heads, self.dim_head).astype(cdt)
-            qkv = jnp.einsum("bnd,dthe->tbhne", x, w)
-            return qkv[0], qkv[1], qkv[2]  # each [b, h, n, dh]
+            q = jnp.einsum("bnd,dhe->bhne", x, w[:, 0])
+            k = jnp.einsum("bnd,dhe->bhne", x, w[:, 1])
+            v = jnp.einsum("bnd,dhe->bhne", x, w[:, 2])
+            return q, k, v  # each [b, h, n, dh]
         qkv = x @ kernel.astype(cdt)
         q = qkv[..., :inner].reshape(b, n, self.heads, self.dim_head)
         k = qkv[..., inner : 2 * inner].reshape(b, n, self.heads, self.dim_head)
