@@ -43,11 +43,17 @@ def main():
 
     batch = 64
     tokens = 2048
+    import os
+
     model = create_model(
         "mirror",
         wsi_embed_dim=768, rna_embed_dim=10234, embed_dim=768,
         wsi_num_tokens=tokens, rna_mlp_ratio=4.0, rna_norm_eps=1e-5,
         use_pallas=True,  # flagship config: fused Pallas Nystrom kernels
+        # default "exact" = reference-faithful autodiff through the pinv
+        # iterations; the env knob exists only for measuring the
+        # experimental implicit-gradient mode (never set by the driver)
+        pinv_grad=os.environ.get("MIRROR_BENCH_PINV_GRAD", "exact"),
         dtype="bfloat16",
     )
 

@@ -66,6 +66,13 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
                         "Moore-Penrose pinv, landmark softmax, res-conv); "
                         "default: on for TPU backends")
     g.add_argument("--no-use-pallas", action="store_false", dest="use_pallas")
+    g.add_argument("--pinv-grad", type=str, default="exact",
+                   choices=["exact", "implicit"],
+                   help="Nystrom pinv backward: 'exact' differentiates "
+                        "through the 6 Moore-Penrose iterations (reference-"
+                        "faithful); 'implicit' uses the converged implicit-"
+                        "function gradient -Z^T g Z^T (faster, documented "
+                        "deviation)")
 
     g = parser.add_argument_group("Device")
     g.add_argument("--device", type=str, default="tpu")

@@ -31,6 +31,7 @@ class MIRRORClassifier(nn.Module):
     rna_norm_eps: float = 1e-6
     fusion: str = "concat"
     use_pallas: bool = False
+    pinv_grad: str = "exact"
     grad_checkpointing: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -40,6 +41,7 @@ class MIRRORClassifier(nn.Module):
             input_dim=self.wsi_embed_dim,
             embed_dim=self.embed_dim,
             use_pallas=self.use_pallas,
+            pinv_grad=self.pinv_grad,
             grad_checkpointing=self.grad_checkpointing,
             dtype=self.dtype,
         )

@@ -32,6 +32,7 @@ class MIRRORDual(nn.Module):
     rna_drop_path_rate: float = 0.0
     rna_norm_eps: float = 1e-6
     use_pallas: bool = False
+    pinv_grad: str = "exact"
     grad_checkpointing: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -41,6 +42,7 @@ class MIRRORDual(nn.Module):
             input_dim=self.wsi_embed_dim,
             embed_dim=self.embed_dim,
             use_pallas=self.use_pallas,
+            pinv_grad=self.pinv_grad,
             grad_checkpointing=self.grad_checkpointing,
             dtype=self.dtype,
         )

@@ -66,6 +66,7 @@ class MIRROR(nn.Module):
     style_latent_dim: int = 128
     num_prototypes: int = 3000
     use_pallas: bool = False
+    pinv_grad: str = "exact"
     grad_checkpointing: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -81,6 +82,7 @@ class MIRROR(nn.Module):
             num_tokens=self.wsi_num_tokens,
             retention_decoder_depth=self.wsi_retention_decoder_depth,
             use_pallas=self.use_pallas,
+            pinv_grad=self.pinv_grad,
             grad_checkpointing=self.grad_checkpointing,
             dtype=self.dtype,
         )

@@ -68,6 +68,30 @@ def moore_penrose_pinv(x: jax.Array, iters: int = 6) -> jax.Array:
     return z
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def moore_penrose_pinv_implicit(x: jax.Array, iters: int = 6) -> jax.Array:
+    """moore_penrose_pinv with the implicit-function gradient instead of
+    autodiff through the iterations: dL/dX = -Z^T (dL/dZ) Z^T at the
+    converged point (2 matmuls vs ~60 in the unrolled reverse sweep). Exact
+    in the limit of convergence; a documented deviation from the reference's
+    autograd-through-iterations on matrices the 6 iterations leave
+    unconverged. Selected via pinv_grad="implicit"."""
+    return moore_penrose_pinv(x, iters)
+
+
+def _pinv_implicit_fwd(x, iters):
+    z = moore_penrose_pinv(x, iters)
+    return z, z
+
+
+def _pinv_implicit_bwd(iters, z, g):
+    zt = jnp.swapaxes(z, -1, -2)
+    return (-(zt @ (g.astype(z.dtype) @ zt)).astype(z.dtype),)
+
+
+moore_penrose_pinv_implicit.defvjp(_pinv_implicit_fwd, _pinv_implicit_bwd)
+
+
 class _QKVProjection(nn.Module):
     """qkv projection whose param path matches nn.Dense ("to_qkv"/"kernel")
     but can emit head-major [b, h, n, dh] tensors straight from the einsum —
@@ -145,6 +169,7 @@ class NystromAttention(nn.Module):
     eps: float = 1e-8
     dropout: float = 0.0
     use_pallas: bool = False
+    pinv_grad: str = "exact"  # "exact" | "implicit" (see moore_penrose_pinv_implicit)
     xavier_init: bool = False  # hybrid WSI encoder xavier-inits all Linears
     dtype: Optional[jnp.dtype] = None
 
@@ -217,7 +242,11 @@ class NystromAttention(nn.Module):
             # (ablation in scripts/ablate_step.py; kernel in ops/pinv_pallas)
             from mirror_tpu.ops.pinv_pallas import moore_penrose_pinv_pallas
 
-            attn2_inv = moore_penrose_pinv_pallas(attn2, self.pinv_iterations)
+            attn2_inv = moore_penrose_pinv_pallas(
+                attn2, self.pinv_iterations, grad=self.pinv_grad
+            )
+        elif self.pinv_grad == "implicit":
+            attn2_inv = moore_penrose_pinv_implicit(attn2, self.pinv_iterations)
         else:
             attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
 

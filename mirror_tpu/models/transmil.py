@@ -72,6 +72,7 @@ class TransLayer(nn.Module):
     dim: int = 512
     xavier_init: bool = False
     use_pallas: bool = False
+    pinv_grad: str = "exact"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,6 +90,7 @@ class TransLayer(nn.Module):
             dropout=0.1,
             xavier_init=self.xavier_init,
             use_pallas=self.use_pallas,
+            pinv_grad=self.pinv_grad,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic)
@@ -118,6 +120,7 @@ class FeatureTransMIL(nn.Module):
     xavier_init: bool = False
     cls_token_std: float = 1.0  # plain randn in the reference (ref :347)
     use_pallas: bool = False
+    pinv_grad: str = "exact"
     grad_checkpointing: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -145,11 +148,11 @@ class FeatureTransMIL(nn.Module):
         )
         self.layer1 = layer_cls(
             dim=self.embed_dim, xavier_init=self.xavier_init,
-            use_pallas=self.use_pallas, dtype=self.dtype,
+            use_pallas=self.use_pallas, pinv_grad=self.pinv_grad, dtype=self.dtype,
         )
         self.layer2 = layer_cls(
             dim=self.embed_dim, xavier_init=self.xavier_init,
-            use_pallas=self.use_pallas, dtype=self.dtype,
+            use_pallas=self.use_pallas, pinv_grad=self.pinv_grad, dtype=self.dtype,
         )
         self.pos_layer = PPEG(dim=self.embed_dim, dtype=self.dtype)
         self.norm = nn.LayerNorm(
@@ -233,7 +236,7 @@ class FeatureTransMILHybrid(FeatureTransMIL):
         self.retention_blocks = [
             layer_cls(
                 dim=self.embed_dim, xavier_init=self.xavier_init,
-                use_pallas=self.use_pallas, dtype=self.dtype,
+                use_pallas=self.use_pallas, pinv_grad=self.pinv_grad, dtype=self.dtype,
                 name=f"retention_block_{i}",
             )
             for i in range(self.retention_decoder_depth)

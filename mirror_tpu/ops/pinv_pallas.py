@@ -203,15 +203,51 @@ def _pinv_core_bwd(iters, res, g):
 _pinv_core.defvjp(_pinv_core_fwd, _pinv_core_bwd)
 
 
-def moore_penrose_pinv_pallas(x: jax.Array, iters: int = 6) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pinv_core_implicit(x, s, iters):
+    return _fwd_call(x, s, iters)
+
+
+def _pinv_core_implicit_fwd(x, s, iters):
+    z = _fwd_call(x, s, iters)
+    return z, z
+
+
+def _pinv_core_implicit_bwd(iters, z, g):
+    """Implicit-function gradient at the converged point: for Z ~= X^-1,
+    dL/dX = -Z^T (dL/dZ) Z^T — two [m, m] matmuls instead of the 66-dot
+    reverse sweep through the 6 iterations (the exact path's backward kernel
+    is 22 ms/step per layer at B=64, ~87% of the MXU roofline, i.e. the
+    FLOPs themselves are the cost). The converged limit does not depend on
+    the z0 scaling, so the scale gets zero gradient (the exact path's scale
+    gradient is O(residual) tiny)."""
+    zt = jnp.swapaxes(z, -1, -2)
+    gx = -(zt @ (g.astype(z.dtype) @ zt))
+    return gx.astype(z.dtype), jnp.zeros((), jnp.float32)
+
+
+_pinv_core_implicit.defvjp(_pinv_core_implicit_fwd, _pinv_core_implicit_bwd)
+
+
+def moore_penrose_pinv_pallas(
+    x: jax.Array, iters: int = 6, grad: str = "exact"
+) -> jax.Array:
     """Drop-in replacement for models.nystrom.moore_penrose_pinv on TPU.
 
     x: [b, h, m, m] (m a multiple of 128 for MXU alignment). The global-max
     scaling scalar stays in XLA so its (sub)gradient matches autodiff through
     the reference's max() exactly.
+
+    grad: "exact" (default) differentiates through the 6 iterations like
+    torch autograd does in the reference; "implicit" uses the implicit-
+    function gradient of the converged pseudo-inverse (-Z^T g Z^T) — a
+    documented deviation that trades gradient exactness on ill-conditioned
+    landmark matrices for skipping the entire backward iteration sweep.
     """
     abs_x = jnp.abs(x)
     col = jnp.sum(abs_x, axis=-1)
     row = jnp.sum(abs_x, axis=-2)
     s = (jnp.max(col) * jnp.max(row)).astype(jnp.float32)
+    if grad == "implicit":
+        return _pinv_core_implicit(x, s, iters)
     return _pinv_core(x, s, iters)

@@ -75,7 +75,7 @@ def mirror(**kwargs: Any) -> MIRROR:
         "rna_attn_drop_rate", "rna_drop_path_rate", "rna_norm_eps",
         "rna_retention_decoder_depth", "init_logit_scale",
         "style_mlp_hidden_dim", "style_mlp_out_dim", "style_latent_dim",
-        "num_prototypes", "use_pallas", "grad_checkpointing", "dtype",
+        "num_prototypes", "use_pallas", "pinv_grad", "grad_checkpointing", "dtype",
     }
     return MIRROR(**_filter(_resolve_common(kwargs), accepted))
 
@@ -86,7 +86,7 @@ def mirror_dual(**kwargs: Any) -> MIRRORDual:
         "wsi_embed_dim", "rna_embed_dim", "embed_dim", "projection_dim",
         "rna_encoder_depth", "rna_gene_embed", "rna_mlp_ratio",
         "rna_pos_drop_rate", "rna_proj_drop_rate", "rna_attn_drop_rate",
-        "rna_drop_path_rate", "rna_norm_eps", "use_pallas",
+        "rna_drop_path_rate", "rna_norm_eps", "use_pallas", "pinv_grad",
         "grad_checkpointing", "dtype",
     }
     return MIRRORDual(**_filter(_resolve_common(kwargs), accepted))
@@ -98,6 +98,6 @@ def mirror_classifier(**kwargs: Any) -> MIRRORClassifier:
         "wsi_embed_dim", "rna_embed_dim", "embed_dim", "rna_encoder_depth",
         "rna_gene_embed", "rna_mlp_ratio", "rna_pos_drop_rate",
         "rna_proj_drop_rate", "rna_attn_drop_rate", "rna_drop_path_rate",
-        "rna_norm_eps", "num_classes", "fusion", "use_pallas", "grad_checkpointing", "dtype",
+        "rna_norm_eps", "num_classes", "fusion", "use_pallas", "pinv_grad", "grad_checkpointing", "dtype",
     }
     return MIRRORClassifier(**_filter(_resolve_common(kwargs), accepted))

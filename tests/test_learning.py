@@ -21,7 +21,11 @@ def cohort(tmp_path_factory):
     )
 
 
-def test_subtyping_learns(cohort, tmp_path):
+@pytest.mark.parametrize("pinv_grad", ["exact", "implicit"])
+def test_subtyping_learns(cohort, tmp_path, pinv_grad):
+    # both pinv backward modes must train: "exact" is reference-faithful,
+    # "implicit" is the experimental fast mode whose gradients deviate on
+    # unconverged pinv iterates (see ops/pinv_pallas.py)
     cfg = dict(
         wsi_feature_dir=cohort["subtype_feature_dir"],
         rna_feature_csv=cohort["rna_csv"],
@@ -35,7 +39,7 @@ def test_subtyping_learns(cohort, tmp_path):
         smoothing=0.0,
         amp=False,
         model="mirror_classifier",
-        model_kwargs={**TINY, "fusion": "concat"},
+        model_kwargs={**TINY, "fusion": "concat", "pinv_grad": pinv_grad},
         eval_metric="auc",
     )
     path = str(tmp_path / "cfg.yaml")

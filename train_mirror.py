@@ -59,6 +59,7 @@ def main(argv=None):
     if args.amp:
         model_kwargs.setdefault("dtype", args.amp_dtype)
     model_kwargs.setdefault("use_pallas", resolve_use_pallas(args))
+    model_kwargs.setdefault("pinv_grad", args.pinv_grad)
     model_kwargs.setdefault("grad_checkpointing", args.grad_checkpointing)
     model = create_model(args.model, **model_kwargs)
 
