@@ -28,9 +28,49 @@ from flax import linen as nn
 # ---------------------------------------------------------------------------
 
 
+class QuantDense(nn.Module):
+    """W8A8 dynamically-quantized Dense for inference: per-output-channel
+    weight scales + per-token activation scales, s8 x s8 -> s32 on the MXU
+    (v5e int8 peak is 2x bf16). Param tree is identical to nn.Dense
+    (kernel [in, out] fp32 + bias [out]) so HF/torch weight converters and
+    checkpoints are unchanged — quantization happens at trace time from the
+    fp32 params. Inference-only (no custom VJP; feature extraction never
+    differentiates)."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        # per-output-channel weight quantization (tiny: [d, out] params)
+        w_s = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 127.0  # [1, o]
+        w_s = jnp.maximum(w_s, 1e-12)
+        w_q = jnp.round(kernel / w_s).astype(jnp.int8)
+        # per-token dynamic activation quantization
+        xf = x.astype(jnp.float32)
+        x_s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # [..., 1]
+        x_s = jnp.maximum(x_s, 1e-12)
+        x_q = jnp.round(xf / x_s).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = y.astype(jnp.float32) * (x_s * w_s) + bias
+        return out.astype(self.dtype or x.dtype)
+
+
 class ViTSelfAttention(nn.Module):
     num_heads: int = 12
     use_pallas: bool = False
+    quant: Optional[str] = None  # None | "int8" (inference-only W8A8)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -40,6 +80,8 @@ class ViTSelfAttention(nn.Module):
         scale = head_dim**-0.5
 
         def proj(name):
+            if self.quant == "int8":
+                return QuantDense(d, name=name, dtype=self.dtype)
             return nn.Dense(d, name=name, dtype=self.dtype, param_dtype=jnp.float32)
 
         if self.use_pallas:
@@ -77,6 +119,7 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-12
     use_pallas: bool = False
+    quant: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -87,18 +130,20 @@ class ViTBlock(nn.Module):
                 name=name,
             )
 
+        def dense(f, name):
+            if self.quant == "int8":
+                return QuantDense(f, name=name, dtype=self.dtype)
+            return nn.Dense(f, name=name, dtype=self.dtype, param_dtype=jnp.float32)
+
         d = x.shape[-1]
         x = x + ViTSelfAttention(
-            self.num_heads, use_pallas=self.use_pallas, dtype=self.dtype,
-            name="attention",
+            self.num_heads, use_pallas=self.use_pallas, quant=self.quant,
+            dtype=self.dtype, name="attention",
         )(ln("layernorm_before")(x))
         y = ln("layernorm_after")(x)
-        y = nn.Dense(
-            int(d * self.mlp_ratio), name="intermediate", dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(y)
+        y = dense(int(d * self.mlp_ratio), "intermediate")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(d, name="output", dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = dense(d, "output")(y)
         return x + y
 
 
@@ -112,6 +157,7 @@ class ViTB16(nn.Module):
     num_heads: int = 12
     norm_eps: float = 1e-12
     use_pallas: bool = False
+    quant: Optional[str] = None  # "int8": W8A8 GEMMs (see QuantDense)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -145,7 +191,7 @@ class ViTB16(nn.Module):
         for i in range(self.depth):
             x = ViTBlock(
                 self.num_heads, norm_eps=self.norm_eps,
-                use_pallas=self.use_pallas, dtype=self.dtype,
+                use_pallas=self.use_pallas, quant=self.quant, dtype=self.dtype,
                 name=f"block_{i}",
             )(x)
         x = nn.LayerNorm(

@@ -108,7 +108,8 @@ def batched_patch_stream(
 
 
 def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat16",
-                    use_pallas: bool = False, data_parallel: bool = True):
+                    use_pallas: bool = False, quant=None,
+                    data_parallel: bool = True):
     """Returns (jitted_fn(images)->features, feature_dim).
 
     With ``data_parallel`` (default) and more than one device, the image
@@ -147,7 +148,12 @@ def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat1
 
     dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
     if model_name == "phikon":
-        model = ViTB16(dtype=jnp.dtype(dtype), use_pallas=use_pallas)
+        # quant='int8': W8A8 QuantDense GEMMs — measured SLOWER on v5e at
+        # B=512/197 tokens (2287 vs 2431 patches/s: the per-GEMM dynamic
+        # quant/dequant elementwise traffic outweighs the 2x int8 MXU rate
+        # at this sequence length); kept for larger-ViT / longer-seq regimes
+        model = ViTB16(dtype=jnp.dtype(dtype), use_pallas=use_pallas,
+                       quant=quant)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
         if checkpoint:
             hf_state = _load_hf_state(checkpoint)
@@ -205,6 +211,7 @@ def extract_features(
     fmt: str = "npy",
     skip_existing: bool = True,
     use_pallas: bool = False,
+    quant=None,
 ) -> dict:
     import jax
 
@@ -215,7 +222,8 @@ def extract_features(
         batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
         _logger.info("rounded batch size up to %d (multiple of %d devices)",
                      batch_size, n_dev)
-    fn, dim = build_extractor(model_name, checkpoint, use_pallas=use_pallas)
+    fn, dim = build_extractor(model_name, checkpoint, use_pallas=use_pallas,
+                              quant=quant)
     slides = list_slides(patch_root)[fold::k]
     _logger.info("%d slides (shard %d/%d)", len(slides), fold, k)
     total_patches = 0
@@ -270,10 +278,13 @@ def main():
     p.add_argument("--format", default="npy", choices=["npy", "pt"])
     p.add_argument("--no-skip-existing", action="store_false", dest="skip_existing")
     p.add_argument("--use-pallas", action="store_true", default=False)
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="W8A8 inference GEMMs (see build_extractor note)")
     a = p.parse_args()
     extract_features(
         a.patch_root, a.output_dir, a.model, a.checkpoint, a.batch_size,
         a.fold, a.k, a.num_threads, a.format, a.skip_existing, a.use_pallas,
+        a.quant,
     )
 
 

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 QuantDense GEMMs (inference-only)")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--steps", type=int, default=8)
     args = ap.parse_args()
@@ -31,7 +33,8 @@ def main():
     from mirror_tpu.models.feature_extractors import ViTB16
 
     dtype = None if args.fp32 else "bfloat16"
-    model = ViTB16(dtype=dtype, use_pallas=args.pallas)
+    model = ViTB16(dtype=dtype, use_pallas=args.pallas,
+                   quant="int8" if args.int8 else None)
     key = jax.random.PRNGKey(0)
     imgs = jax.random.normal(key, (args.batch, 224, 224, 3), jnp.float32)
     params = jax.jit(lambda: model.init(key, imgs[:2]))()["params"]
@@ -59,7 +62,7 @@ def main():
     dt = times[len(times) // 2]
     pps = args.batch / dt
     print(f"batch={args.batch} dtype={'fp32' if args.fp32 else 'bf16'} "
-          f"pallas={args.pallas}: {dt*1000:.1f} ms/batch, "
+          f"pallas={args.pallas} int8={args.int8}: {dt*1000:.1f} ms/batch, "
           f"{pps:.0f} patches/s, {pps*GFLOP_PER_IMG/1000:.1f} TFLOP/s")
 
     if args.trace:

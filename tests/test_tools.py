@@ -252,3 +252,26 @@ def test_feature_extraction_data_parallel_mesh(tmp_path):
     )
     feats = np.load(os.path.join(out, "s1.npy"))
     assert feats.shape == (n, 1024)
+
+
+def test_vit_int8_features_match_bf16():
+    """QuantDense (W8A8 dynamic quantization) must preserve feature
+    direction: cosine vs the bf16 path > 0.995 per image. (On v5e at 197
+    tokens int8 measured SLOWER end-to-end — see gen_patch_feature
+    build_extractor note — but the mode must stay correct.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from mirror_tpu.models.feature_extractors import ViTB16
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(key, (2, 224, 224, 3), jnp.float32)
+    m_ref = ViTB16(dtype="bfloat16")
+    m_q = ViTB16(dtype="bfloat16", quant="int8")
+    params = m_ref.init(key, imgs[:1])["params"]  # same tree both modes
+    f_ref = m_ref.apply({"params": params}, imgs)
+    f_q = m_q.apply({"params": params}, imgs)
+    cos = jnp.sum(f_ref * f_q, -1) / (
+        jnp.linalg.norm(f_ref, axis=-1) * jnp.linalg.norm(f_q, axis=-1)
+    )
+    assert float(cos.min()) > 0.995, cos
