@@ -34,20 +34,23 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _band_tile(kern, rows, K, flip, dtype):
-    """[rows, rows + K - 1] tile with Band[i, i + j] = kern[j] (flipped for
-    the transpose conv of the backward pass)."""
+def _band_tiles_xla(kern, rows, K, flip, dtype):
+    """[h, rows, rows + K - 1] band tiles with Band[h, i, i + j] = kern[h, j]
+    (flipped for the transpose conv of the backward pass). Built ONCE in XLA
+    per call and streamed to the kernel as an input instead of K=33
+    masked-select passes per (batch, head) program — measured speed-neutral
+    at production shapes (the in-kernel build overlapped with DMA), kept for
+    the simpler kernel body."""
     cols = rows + K - 1
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    j = c - r
-    # build in f32: the i1 select mask shares the 32-bit (8,128) tile layout
-    # (a bf16 where would need an unsupported (16,128) mask relayout)
-    band = jnp.zeros((rows, cols), jnp.float32)
-    for jj in range(K):
-        tap = kern[K - 1 - jj] if flip else kern[jj]
-        band = jnp.where(j == jj, tap, band)
-    return band.astype(dtype)
+    j = c - r  # [rows, cols], tap index at each position
+    kf = kern.astype(jnp.float32)
+    if flip:
+        kf = kf[:, ::-1]
+    taps = jnp.pad(kf, ((0, 0), (0, 1)))  # slot K holds 0 for off-band
+    j_idx = jnp.where((j >= 0) & (j < K), j, K)
+    return jnp.take(taps, j_idx, axis=1).astype(dtype)  # [h, rows, cols]
 
 
 def _banded_matmul(v_ref, o_ref, band, n_tiles, K):
@@ -60,24 +63,12 @@ def _banded_matmul(v_ref, o_ref, band, n_tiles, K):
         ).astype(o_ref.dtype)
 
 
-def _select_head_row(kern_ref, hi):
-    """Row hi of the [h, 128] fp32 kern array via masked reduce — a dynamic
-    row index can't be proven (8,·)-aligned, a full load + select can."""
-    kf = kern_ref[:, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, kf.shape, 0)
-    return jnp.sum(jnp.where(rows == hi, kf, 0.0), axis=0)
+def _fwd_kernel(K: int, n_tiles: int, v_ref, band_ref, o_ref):
+    _banded_matmul(v_ref, o_ref, band_ref[0, :, :], n_tiles, K)
 
 
-def _fwd_kernel(K: int, n_tiles: int, v_ref, kern_ref, o_ref):
-    kern = _select_head_row(kern_ref, pl.program_id(1))
-    band = _band_tile(kern, ROW_TILE, K, flip=False, dtype=v_ref.dtype)
-    _banded_matmul(v_ref, o_ref, band, n_tiles, K)
-
-
-def _dv_kernel(K: int, n_tiles: int, g_ref, kern_ref, dv_ref):
-    kern = _select_head_row(kern_ref, pl.program_id(1))
-    band = _band_tile(kern, ROW_TILE, K, flip=True, dtype=g_ref.dtype)
-    _banded_matmul(g_ref, dv_ref, band, n_tiles, K)
+def _dv_kernel(K: int, n_tiles: int, g_ref, band_ref, dv_ref):
+    _banded_matmul(g_ref, dv_ref, band_ref[0, :, :], n_tiles, K)
 
 
 def _dkern_kernel(K: int, n_tiles: int, g_ref, v_ref, dk_ref, acc_ref):
@@ -127,19 +118,21 @@ def _fwd_call(v, kern):
     K = kern.shape[1]
     n_tiles = -(-n // ROW_TILE)
     vp = _pad_seq(v, K, n_tiles)
-    full_in, kern_spec = _specs(vp.shape[2], d)
+    full_in, _ = _specs(vp.shape[2], d)
     out_spec = pl.BlockSpec(
         (1, 1, n_tiles * ROW_TILE, d), lambda bi, hi: (bi, hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    kern_padded = jnp.pad(
-        kern.astype(jnp.float32), ((0, 0), (0, 128 - K))
+    bands = _band_tiles_xla(kern, ROW_TILE, K, flip=False, dtype=v.dtype)
+    band_spec = pl.BlockSpec(
+        (1, ROW_TILE, ROW_TILE + K - 1), lambda bi, hi: (hi, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, K, n_tiles),
         out_shape=jax.ShapeDtypeStruct((b, h, n_tiles * ROW_TILE, d), v.dtype),
         grid=(b, h),
-        in_specs=[full_in, kern_spec],
+        in_specs=[full_in, band_spec],
         out_specs=out_spec,
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -147,7 +140,7 @@ def _fwd_call(v, kern):
             bytes_accessed=2 * v.size * v.dtype.itemsize,
             transcendentals=0,
         ),
-    )(vp, kern_padded)
+    )(vp, bands)
     return out[:, :, :n, :] if n_tiles * ROW_TILE != n else out
 
 
@@ -156,22 +149,24 @@ def _bwd_call(v, kern, g):
     K = kern.shape[1]
     n_tiles = -(-n // ROW_TILE)
     gp = _pad_seq(g, K, n_tiles)
-    full_in, kern_spec = _specs(gp.shape[2], d)
+    full_in, _ = _specs(gp.shape[2], d)
     out_spec = pl.BlockSpec(
         (1, 1, n_tiles * ROW_TILE, d), lambda bi, hi: (bi, hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    kern_padded = jnp.pad(
-        kern.astype(jnp.float32), ((0, 0), (0, 128 - K))
+    bands_f = _band_tiles_xla(kern, ROW_TILE, K, flip=True, dtype=g.dtype)
+    band_spec = pl.BlockSpec(
+        (1, ROW_TILE, ROW_TILE + K - 1), lambda bi, hi: (hi, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     dv = pl.pallas_call(
         functools.partial(_dv_kernel, K, n_tiles),
         out_shape=jax.ShapeDtypeStruct((b, h, n_tiles * ROW_TILE, d), v.dtype),
         grid=(b, h),
-        in_specs=[full_in, kern_spec],
+        in_specs=[full_in, band_spec],
         out_specs=out_spec,
         interpret=_use_interpret(),
-    )(gp, kern_padded)
+    )(gp, bands_f)
     dv = dv[:, :, :n, :] if n_tiles * ROW_TILE != n else dv
 
     # dkern: grid (h, b) so each head's accumulation is consecutive
