@@ -59,9 +59,12 @@ def main():
     import mirror_tpu.models.nystrom as nystrom_mod
     import mirror_tpu.models.transmil as transmil_mod
 
+    import mirror_tpu.ops.pinv_pallas as pinv_mod
+
     results = {}
     for mode in modes:
         orig_pinv = nystrom_mod.moore_penrose_pinv
+        orig_pinv_pallas = pinv_mod.moore_penrose_pinv_pallas
         orig_ppeg_call = transmil_mod.PPEG.__call__
         try:
             if mode == "nopinv":
@@ -70,9 +73,8 @@ def main():
                 nystrom_mod.moore_penrose_pinv = (
                     lambda x, iters=6: jnp.swapaxes(x, -1, -2)
                 )
-                pp_orig = pp.moore_penrose_pinv_pallas
                 pp.moore_penrose_pinv_pallas = (
-                    lambda x, iters=6: jnp.swapaxes(x, -1, -2)
+                    lambda x, iters=6, grad="exact": jnp.swapaxes(x, -1, -2)
                 )
             elif mode == "noppeg":
                 transmil_mod.PPEG.__call__ = lambda self, x, h, w: x
@@ -86,6 +88,7 @@ def main():
                   flush=True)
         finally:
             nystrom_mod.moore_penrose_pinv = orig_pinv
+            pinv_mod.moore_penrose_pinv_pallas = orig_pinv_pallas
             nystrom_mod._ABLATE_RES_CONV = False
             transmil_mod.PPEG.__call__ = orig_ppeg_call
     if "full" in results:

@@ -77,3 +77,27 @@ def test_nystrom_module_matches_naive(n):
         )
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_and_dense_param_trees_identical():
+    """The pallas path's _QKVProjection/_OutProjection must create the exact
+    same param tree (paths, shapes, AND init values) as the dense path's
+    nn.Dense modules — this is what makes checkpoints portable between
+    backends (same scope path -> same RNG fold -> same init draw)."""
+    mod_d = NystromAttention(dim=64, dim_head=8, heads=8, num_landmarks=16,
+                             use_pallas=False)
+    mod_p = NystromAttention(dim=64, dim_head=8, heads=8, num_landmarks=16,
+                             use_pallas=True)
+    x = jnp.zeros((1, 48, 64), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    p_d = mod_d.init(key, x)["params"]
+    p_p = mod_p.init(key, x)["params"]
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(p_d))
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(p_p))
+    assert flat_d.keys() == flat_p.keys(), (
+        set(flat_d) ^ set(flat_p)
+    )
+    for path, leaf in flat_d.items():
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_p[path]), err_msg=str(path)
+        )
