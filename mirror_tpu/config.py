@@ -53,6 +53,12 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--initial-checkpoint", type=str, default="")
     g.add_argument("--resume", type=str, default="")
     g.add_argument("--no-resume-opt", action="store_true", default=False)
+    g.add_argument("--ckpt-format", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="checkpoint serialization: flax msgpack files "
+                        "(default, reference-contract payload) or Orbax "
+                        "PyTree directories (production JAX checkpointer); "
+                        "loaders auto-detect either format")
     g.add_argument("--batch-size", type=int, default=16)
     g.add_argument("--validation-batch-size", type=int, default=None)
     g.add_argument("--grad-accum-steps", type=int, default=1)

@@ -29,7 +29,8 @@ def find_fold_checkpoint(pretrain_root: str, fold: int) -> Optional[str]:
         if os.path.isdir(d) and f"fold_{fold}" in os.path.basename(d)
     )
     for d in reversed(run_dirs):
-        for name in ("model_best.msgpack", "last.msgpack"):
+        for name in ("model_best.msgpack", "model_best.orbax",
+                     "last.msgpack", "last.orbax"):
             path = os.path.join(d, name)
             if os.path.exists(path):
                 return path

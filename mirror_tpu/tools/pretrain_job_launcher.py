@@ -27,7 +27,8 @@ def newest_resumable(output_root: str, fold: int):
     if not output_root:
         return None
     candidates = []
-    for name in ("recovery.msgpack", "last.msgpack"):
+    for name in ("recovery.msgpack", "recovery.orbax",
+                 "last.msgpack", "last.orbax"):
         for path in glob.glob(
             os.path.join(output_root, "pretrain", f"*fold_{fold}*", name)
         ):

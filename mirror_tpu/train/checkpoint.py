@@ -10,8 +10,13 @@ Replicates the timm CheckpointSaver semantics the reference relies on
 - payload keys (epoch/arch/state_dict/ema/metric/args/version) match the
   reference's on-disk contract observed in tools/split_weights.py:55-70.
 
-Format: flax msgpack of numpy pytrees — single-host friendly; arrays are
-pulled off-device at save time.
+Format: flax msgpack of numpy pytrees (default) — single-host friendly;
+arrays are pulled off-device at save time. ``fmt="orbax"`` writes Orbax
+PyTree checkpoint DIRECTORIES instead (``.orbax`` suffix) — the standard
+JAX production checkpointer (async/sharded/multi-host capable); the payload
+keys are identical, and every loader here auto-detects the format per path
+(directory -> orbax, file -> msgpack), so resume and pretrain->downstream
+transfer work across formats.
 """
 
 import logging
@@ -26,13 +31,26 @@ from flax import serialization
 _logger = logging.getLogger(__name__)
 
 EXT = ".msgpack"
+EXT_ORBAX = ".orbax"
 
 
 def _to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint_file(path: str, payload: Dict[str, Any]) -> None:
+def save_checkpoint_file(
+    path: str, payload: Dict[str, Any], fmt: str = "msgpack"
+) -> None:
+    if fmt == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ocp.PyTreeCheckpointer().save(path, payload)
+        return
     data = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -41,8 +59,23 @@ def save_checkpoint_file(path: str, payload: Dict[str, Any]) -> None:
 
 
 def load_checkpoint_file(path: str) -> Dict[str, Any]:
+    """Format auto-detected: orbax checkpoints are directories."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        return jax.tree.map(np.asarray, restored)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def _remove_checkpoint(path: str) -> None:
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
 
 
 class CheckpointSaver:
@@ -54,10 +87,13 @@ class CheckpointSaver:
         decreasing: bool = False,
         max_history: int = 5,
         async_save: bool = True,
+        fmt: str = "msgpack",
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         self.arch = arch
         self.args_text = args_text
+        self.fmt = fmt
+        self.ext = EXT_ORBAX if fmt == "orbax" else EXT
         self.decreasing = decreasing  # True when lower metric is better (loss)
         self.max_history = max(max_history, 1)
         self.checkpoint_files: List[Tuple[str, float]] = []
@@ -73,7 +109,7 @@ class CheckpointSaver:
 
     def _write(self, paths_payloads) -> None:
         for path, payload in paths_payloads:
-            save_checkpoint_file(path, payload)
+            save_checkpoint_file(path, payload, fmt=self.fmt)
 
     def _dispatch(self, paths_payloads) -> None:
         if not self.async_save:
@@ -118,8 +154,8 @@ class CheckpointSaver:
         # train step donates the state buffers, so the background writer must
         # never touch live jax arrays.
         payload = self._payload(state, epoch, metric)
-        path = os.path.join(self.checkpoint_dir, f"checkpoint-{epoch}{EXT}")
-        last = os.path.join(self.checkpoint_dir, f"last{EXT}")
+        path = os.path.join(self.checkpoint_dir, f"checkpoint-{epoch}{self.ext}")
+        last = os.path.join(self.checkpoint_dir, f"last{self.ext}")
         writes = [(path, payload), (last, payload)]
 
         if metric is not None:
@@ -129,19 +165,18 @@ class CheckpointSaver:
             )
             while len(self.checkpoint_files) > self.max_history:
                 drop_path, _ = self.checkpoint_files.pop()
-                if os.path.exists(drop_path):
-                    os.remove(drop_path)
+                _remove_checkpoint(drop_path)
             if self.best_metric is None or self._cmp(metric, self.best_metric):
                 self.best_metric = metric
                 self.best_epoch = epoch
-                best = os.path.join(self.checkpoint_dir, f"model_best{EXT}")
+                best = os.path.join(self.checkpoint_dir, f"model_best{self.ext}")
                 writes.append((best, payload))
         self._dispatch(writes)
         return self.best_metric, self.best_epoch
 
     def save_recovery(self, state, epoch: int, batch_idx: int) -> None:
         self.wait()
-        path = os.path.join(self.checkpoint_dir, f"recovery{EXT}")
+        path = os.path.join(self.checkpoint_dir, f"recovery{self.ext}")
         self._dispatch([(path, self._payload(state, epoch, None))])
 
 

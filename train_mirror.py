@@ -187,6 +187,7 @@ def main(argv=None):
         saver = CheckpointSaver(
             out_dir, arch=args.model, args_text=args_text,
             decreasing=True, max_history=args.checkpoint_hist,
+            fmt=args.ckpt_format,
         )
 
     from mirror_tpu.train.optim import scheduled_epochs

@@ -209,6 +209,7 @@ def main(argv=None):
         saver = CheckpointSaver(
             out_dir, arch=args.model, args_text=args_text,
             decreasing=args.eval_metric == "loss", max_history=args.checkpoint_hist,
+            fmt=args.ckpt_format,
         )
     harness = TrainHarness(
         args, mesh, state, train_step, train_loader,
