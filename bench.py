@@ -41,9 +41,12 @@ def main():
     from mirror_tpu.train.state import create_train_state
     from mirror_tpu.train.steps import make_mirror_train_step
 
-    batch = 64
-    tokens = 2048
     import os
+
+    # driver runs with no env -> the frozen B=64 definition; the knob is
+    # for batch sweeps during development only
+    batch = int(os.environ.get("MIRROR_BENCH_BATCH", "64"))
+    tokens = 2048
 
     model = create_model(
         "mirror",

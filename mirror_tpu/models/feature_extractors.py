@@ -360,3 +360,14 @@ def normalize_images(uint8_images: np.ndarray) -> np.ndarray:
     albumentations Normalize, dataset_feature_generation.py:55-72)."""
     x = uint8_images.astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def device_normalize(uint8_images: jax.Array) -> jax.Array:
+    """The same ImageNet normalization, jitted ON DEVICE from uint8 input:
+    the feature-gen pipeline ships raw uint8 batches host->device (77 MB at
+    B=512 vs 308 MB normalized fp32 — 4x less PCIe/tunnel traffic) and the
+    cast+normalize fuses into the patch-embed prologue."""
+    x = uint8_images.astype(jnp.float32) * (1.0 / 255.0)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
