@@ -165,7 +165,14 @@ class CheckpointSaver:
             )
             while len(self.checkpoint_files) > self.max_history:
                 drop_path, _ = self.checkpoint_files.pop()
-                _remove_checkpoint(drop_path)
+                if drop_path == path:
+                    # the checkpoint we are ABOUT to write already fell out
+                    # of the best-k window (worse than every kept metric):
+                    # don't write it at all — removing it here raced the
+                    # async write and left an orphan file on disk forever
+                    writes = [w for w in writes if w[0] != path]
+                else:
+                    _remove_checkpoint(drop_path)
             if self.best_metric is None or self._cmp(metric, self.best_metric):
                 self.best_metric = metric
                 self.best_epoch = epoch

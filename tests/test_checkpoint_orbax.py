@@ -94,3 +94,30 @@ def test_cross_format_pretrained_transfer(tmp_path):
         np.asarray(state.params["dense"]["kernel"]),
     )
     assert np.asarray(merged["head"]["kernel"]).sum() == 0.0
+
+
+@pytest.mark.parametrize("fmt", ["msgpack", "orbax"])
+def test_immediately_evicted_checkpoint_leaves_no_orphan(tmp_path, fmt):
+    """A save whose metric already falls outside the best-k window must not
+    leave an orphan on disk: with async saves, removing it after dispatch
+    raced the background write (the old behavior wrote it anyway and the
+    eviction hit a not-yet-existing path)."""
+    state = _tiny_state()
+    saver = CheckpointSaver(
+        str(tmp_path), decreasing=True, max_history=1, async_save=True,
+        fmt=fmt,
+    )
+    saver.save_checkpoint(state, 0, 0.5)   # best, kept
+    saver.save_checkpoint(state, 1, 0.9)   # worse than every kept -> evicted
+    saver.wait()
+    names = sorted(os.path.basename(p)
+                   for p in glob.glob(str(tmp_path / "checkpoint-*")))
+    ext = ".orbax" if fmt == "orbax" else ".msgpack"
+    assert names == [f"checkpoint-0{ext}"], names
+    # last/best still reflect the newest save / the best metric
+    assert os.path.exists(str(tmp_path / f"last{ext}"))
+    assert os.path.exists(str(tmp_path / f"model_best{ext}"))
+    back = load_checkpoint_file(str(tmp_path / f"last{ext}"))
+    assert int(back["epoch"]) == 1
+    back = load_checkpoint_file(str(tmp_path / f"model_best{ext}"))
+    assert int(back["epoch"]) == 0
