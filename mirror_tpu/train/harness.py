@@ -114,6 +114,12 @@ class TrainHarness:
         first_metrics = None
 
         for batch_idx, host_batch in enumerate(self.train_loader):
+            if getattr(self, "_stop_requested", False):
+                _logger.warning(
+                    "preemption: stopping epoch %d at batch %d", epoch,
+                    batch_idx,
+                )
+                break
             valid = host_batch.pop("valid", None)
             batch = shard_batch(self.mesh, host_batch)
             step_rng = jax.random.fold_in(self.rng, self.global_step)
@@ -181,6 +187,26 @@ class TrainHarness:
     def run(self) -> Dict[str, float]:
         args = self.args
         best_metric, best_epoch = None, None
+        # Preemption-safe training: on SIGTERM (the signal preemptible TPU
+        # VMs get, typically with a ~30 s grace window) finish the current
+        # batch, write a synchronous recovery checkpoint, and exit cleanly;
+        # the launchers' retry-with-resume then restarts from it.
+        import signal
+
+        self._stop_requested = False
+
+        def _on_term(signum, frame):
+            self._stop_requested = True
+            _logger.warning(
+                "signal %d received: will checkpoint and stop at the next "
+                "batch boundary", signum,
+            )
+
+        old_term = None
+        try:
+            old_term = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread (e.g. a test driving run() directly)
         start_epoch = getattr(args, "start_epoch", None) or 0
         summary_path = (
             os.path.join(self.out_dir, "summary.csv") if self.out_dir else None
@@ -200,6 +226,15 @@ class TrainHarness:
                 _logger.info("profiler trace written to %s", profile_dir)
             else:
                 train_metrics = self.train_one_epoch(epoch)
+            if self._stop_requested:
+                # grace windows are short: skip eval/summary, just persist
+                if self.saver is not None:
+                    self.saver.save_recovery(self.state, epoch, -1)
+                    _logger.warning(
+                        "preemption: recovery checkpoint written during "
+                        "epoch %d; exiting", epoch,
+                    )
+                break
             eval_metrics = None
             if self.eval_fn is not None:
                 eval_metrics = self.eval_fn(self.state, epoch, self.rng)
@@ -254,6 +289,8 @@ class TrainHarness:
                     best_metric, best_epoch = metric_val, epoch
             _logger.info("Epoch %d done in %.1fs", epoch, time.time() - t0)
 
+        if old_term is not None:
+            signal.signal(signal.SIGTERM, old_term)
         if self.saver is not None:
             self.saver.wait()  # drain any in-flight async checkpoint write
         results = {
@@ -261,6 +298,8 @@ class TrainHarness:
             "best_epoch": best_epoch,
             "metric_name": self.eval_metric,
         }
+        if self._stop_requested:
+            results["preempted"] = True
         if wandb_run is not None:
             wandb_run.summary.update(results)
             wandb_run.finish()
