@@ -276,11 +276,15 @@ def make_optimizer(
             raise ValueError(f"unknown clip_mode {args.clip_mode}")
 
     if opt_name in ("adam",):
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        # torch Adam COUPLES weight decay: grad += wd * p happens BEFORE the
+        # moment updates (unlike AdamW's decoupled decay after) — so the
+        # decay transform must precede scale_by_adam in the chain
+        # (golden-tested against torch.optim.Adam in tests/test_optim.py)
         if args.weight_decay:
             chain.append(
                 optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask)
             )
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
     elif opt_name in ("adamw",):
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
         chain.append(optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask))
@@ -299,11 +303,12 @@ def make_optimizer(
     elif opt_name == "adagrad":
         chain.append(optax.scale_by_rss(initial_accumulator_value=0.0, eps=eps))
     elif opt_name == "rmsprop":
-        chain.append(optax.scale_by_rms(decay=0.9, eps=eps))
+        # torch RMSprop also couples decay into the grad before scaling
         if args.weight_decay:
             chain.append(
                 optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask)
             )
+        chain.append(optax.scale_by_rms(decay=0.9, eps=eps))
     else:
         raise ValueError(f"Unsupported optimizer: {args.opt}")
 

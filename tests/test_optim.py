@@ -184,3 +184,52 @@ def test_smoothed_xent_matches_torch_semantics():
     uni = -logp.mean(1)
     want_sm = np.mean(0.9 * np.array([-logp[0, 0], -logp[1, 2]]) + 0.1 * uni)
     assert sm == pytest.approx(want_sm, rel=1e-5)
+
+
+def test_adam_weight_decay_matches_torch_coupled_l2():
+    """opt=adam + weight_decay must reproduce torch.optim.Adam's COUPLED L2
+    (grad += wd*p BEFORE the moment updates), not AdamW's decoupled decay —
+    multi-step golden check against torch itself."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from mirror_tpu.train.optim import make_optimizer, make_schedule
+
+    class A:
+        opt = "adam"
+        opt_eps = None
+        opt_betas = None
+        momentum = 0.9
+        weight_decay = 0.1
+        clip_grad = None
+        clip_mode = "norm"
+        opt_kwargs = {}
+        use_sched = False
+        grad_accum_steps = 1
+
+    lr = 1e-2
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads_seq = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(5)]
+
+    # torch reference
+    wt = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([wt], lr=lr, weight_decay=0.1)
+    for g in grads_seq:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        opt.step()
+
+    # ours
+    tx = make_optimizer(A, make_schedule(A, 1, lr))
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
