@@ -42,13 +42,10 @@ def save_checkpoint_file(
     path: str, payload: Dict[str, Any], fmt: str = "msgpack"
 ) -> None:
     if fmt == "orbax":
-        import shutil
-
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        _remove_checkpoint(path)  # dir OR stale file (format switch)
         ocp.PyTreeCheckpointer().save(path, payload)
         return
     data = serialization.msgpack_serialize(payload)

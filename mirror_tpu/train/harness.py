@@ -207,6 +207,15 @@ class TrainHarness:
             old_term = signal.signal(signal.SIGTERM, _on_term)
         except ValueError:
             pass  # not the main thread (e.g. a test driving run() directly)
+        try:
+            return self._run_epochs(args, best_metric, best_epoch)
+        finally:
+            # restore on EVERY exit path (incl. exceptions): a stale handler
+            # pointing at a dead harness would swallow later SIGTERMs
+            if old_term is not None:
+                signal.signal(signal.SIGTERM, old_term)
+
+    def _run_epochs(self, args, best_metric, best_epoch):
         start_epoch = getattr(args, "start_epoch", None) or 0
         summary_path = (
             os.path.join(self.out_dir, "summary.csv") if self.out_dir else None
@@ -230,6 +239,7 @@ class TrainHarness:
                 # grace windows are short: skip eval/summary, just persist
                 if self.saver is not None:
                     self.saver.save_recovery(self.state, epoch, -1)
+                    self.saver.wait()  # make the recovery write SYNCHRONOUS
                     _logger.warning(
                         "preemption: recovery checkpoint written during "
                         "epoch %d; exiting", epoch,
@@ -289,8 +299,6 @@ class TrainHarness:
                     best_metric, best_epoch = metric_val, epoch
             _logger.info("Epoch %d done in %.1fs", epoch, time.time() - t0)
 
-        if old_term is not None:
-            signal.signal(signal.SIGTERM, old_term)
         if self.saver is not None:
             self.saver.wait()  # drain any in-flight async checkpoint write
         results = {

@@ -50,7 +50,7 @@ def scale_by_host_lr(init_lr: float) -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         del params
-        updates = jax.tree.map(lambda u: -state.lr * u.astype(u.dtype), updates)
+        updates = jax.tree.map(lambda u: (-state.lr * u).astype(u.dtype), updates)
         return updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -139,18 +139,21 @@ class PlateauController:
             self.current_lr = self.base_lr
         if metric is None:
             return self.current_lr
+        # torch ReduceLROnPlateau order: best/num_bad update first, then the
+        # cooldown counter ticks down EVERY epoch while in cooldown (not just
+        # on non-improving ones), suppressing bad-epoch counting meanwhile
         if self._is_better(metric):
             self.best = metric
             self.num_bad_epochs = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad_epochs = 0
         else:
             self.num_bad_epochs += 1
-            if self.num_bad_epochs > self.patience:
-                self.current_lr = max(self.current_lr * self.decay_rate, self.min_lr)
-                self.cooldown_counter = self.cooldown
-                self.num_bad_epochs = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            self.current_lr = max(self.current_lr * self.decay_rate, self.min_lr)
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
         return self.current_lr
 
     def step_epoch(self, state, epoch: int, metric: float | None):

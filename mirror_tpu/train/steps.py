@@ -192,9 +192,13 @@ def make_mirror_eval_step(
     model.eval() which only disables dropout.
 
     Tail batches not divisible by the device count are padded by the loader
-    and masked here via ``batch["valid"]`` — the loss over the padded batch
-    equals the unpadded loss exactly (incl. contrastive negatives), while the
-    batch still shards over all chips and XLA compiles a single shape."""
+    and masked here via ``batch["valid"]`` — the LOSS masking is exact (incl.
+    contrastive negatives) while the batch still shards over all chips and
+    XLA compiles a single shape. One caveat: the model forward itself couples
+    rows through the reference's GLOBAL-max pinv scaling, so padded rows can
+    in principle nudge valid rows' outputs — with the loader's repeat-row
+    padding this measured bit-equal, and even adversarial padding stays
+    ~1e-4 (tests/test_eval_tail.py)."""
 
     def eval_step(params, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)

@@ -115,3 +115,31 @@ def test_pretrain_eval_tail_shards_over_mesh(tmp_path):
     results = train_mirror.main(["--config", str(cfg_path), "--fold-nb", "0"])
     assert results["best_metric"] is not None
     assert np.isfinite(results["best_metric"])
+
+
+def test_model_forward_pad_coupling():
+    """The loss-level valid masking is exact, but the MODEL forward couples
+    batch rows through the reference's global-max pinv z0 scaling. With the
+    loader's repeat-last-row padding this measures bit-equal; this test pins
+    that the realistic padding keeps the eval loss within float noise of the
+    unpadded value (the claim in train_mirror.py/steps.py)."""
+    model = create_model("mirror", **TINY)
+    rngs = _rngs(0)
+    k = jax.random.PRNGKey(0)
+    wsi = jax.random.normal(k, (5, 16, 32))
+    rna = jax.random.normal(jax.random.fold_in(k, 1), (5, 96))
+    params = model.init(rngs, wsi, rna, 0.75, 0.75, True)["params"]
+    w = MirrorLossWeights(0.5, 0.15, 0.15, 0.1, 0.1)
+    erngs = {k2: v for k2, v in _rngs(7).items() if k2 != "params"}
+
+    out5 = model.apply({"params": params}, wsi, rna, 0.75, 0.75, True, rngs=erngs)
+    l5 = float(mirror_loss(*out5, weights=w)[0])
+
+    wsi8 = jnp.concatenate([wsi, jnp.repeat(wsi[-1:], 3, 0)])
+    rna8 = jnp.concatenate([rna, jnp.repeat(rna[-1:], 3, 0)])
+    valid = jnp.array([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+    out8 = model.apply(
+        {"params": params}, wsi8, rna8, 0.75, 0.75, True, rngs=erngs
+    )
+    l8 = float(mirror_loss(*out8, weights=w, valid=valid)[0])
+    assert abs(l5 - l8) <= 1e-5 * abs(l5), (l5, l8)

@@ -223,3 +223,34 @@ def test_plateau_sync_from_state_after_resume():
     assert c2.current_lr == pytest.approx(1e-3)
     state = c2.step_epoch(state, 2, 1.0)  # first metric -> best, no decay
     assert get_host_lr(state.opt_state) == pytest.approx(1e-3)  # NOT 1e-2
+
+
+def test_plateau_cooldown_matches_torch():
+    """Cooldown ticks every epoch while in cooldown (torch ReduceLROnPlateau),
+    not only on non-improving ones — golden against torch itself over a
+    metric sequence that improves DURING cooldown then degrades."""
+    import torch
+
+    from mirror_tpu.train.optim import PlateauController
+
+    metrics = [1.0, 0.9, 0.95, 0.96, 0.97,   # plateau -> reduce at patience
+               0.5, 0.4, 0.45, 0.46, 0.47, 0.48, 0.49, 0.50, 0.51]
+
+    # torch reference
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.1, patience=2, cooldown=3, threshold=1e-4,
+        threshold_mode="rel",
+    )
+    torch_lrs = []
+    for m in metrics:
+        sch.step(m)
+        torch_lrs.append(opt.param_groups[0]["lr"])
+
+    ctrl = PlateauController(
+        base_lr=1.0, decay_rate=0.1, patience=2, cooldown=3,
+        warmup_epochs=0, min_lr=0.0, mode="min", threshold=1e-4,
+    )
+    ours = [ctrl.epoch_lr(i, m) for i, m in enumerate(metrics)]
+    assert ours == pytest.approx(torch_lrs), (ours, torch_lrs)

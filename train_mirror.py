@@ -160,8 +160,12 @@ def main(argv=None):
         val_batch = args.validation_batch_size or args.batch_size
         # pad the batch to a device multiple so eval shards over ALL chips and
         # XLA compiles one shape; batch["valid"] masks padded rows out of the
-        # loss (incl. the contrastive logit matrix) so the result equals the
-        # unpadded value exactly (tested: tests/test_train_integration.py)
+        # loss (incl. the contrastive logit matrix). The result matches the
+        # unpadded value up to the reference's GLOBAL-max pinv-scaling quirk,
+        # through which any batch row can nudge the shared z0 scale —
+        # repeat-row padding measured bit-equal on synthetic data, and the
+        # residual coupling is bounded ~1e-4 even for adversarial padding
+        # (tests/test_eval_tail.py::test_model_forward_pad_coupling)
         val_batch = ((val_batch + n_devices - 1) // n_devices) * n_devices
 
         def eval_fn(state, epoch, root_rng):
