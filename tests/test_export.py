@@ -9,7 +9,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 from mirror_tpu.registry import create_model
 from mirror_tpu.tools.export_model import export_model
