@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Batch inference from a trained downstream checkpoint to a CSV.
+
+The reference ships training/evaluation entry points but no plain
+"score these slides" tool; this closes that workflow gap:
+
+    python -m mirror_tpu.tools.predict --checkpoint runs/.../model_best.msgpack \\
+        --task subtyping --wsi-feature-dir feats/ --rna-feature-csv rna.csv \\
+        --output predictions.csv
+
+The model is rebuilt from the checkpoint's embedded run args (the
+``args`` yaml the trainers store, train_subtyping.py model assembly), so no
+model flags are needed. Output columns: ``slide_id`` plus per-class
+``prob_{i}`` softmax probabilities (subtyping) or the ``risk`` score
+-sum(cumprod(1-hazards)) (survival, train/steps.py::survival_risk).
+Slides are every feature file in the directory; RNA rows are matched by
+the reference's 15-char "Sample ID" prefix when a CSV is given.
+"""
+
+import argparse
+import glob
+import logging
+import os
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+_logger = logging.getLogger("predict")
+
+
+def _rebuild_model(payload, rna_dim, task):
+    import jax
+    import yaml
+
+    from mirror_tpu.registry import create_model
+
+    run_args = yaml.safe_load(payload["args"]) if payload.get("args") else {}
+    model_name = payload.get("arch") or run_args.get("model", "mirror_classifier")
+    mk = dict(run_args.get("model_kwargs") or {})
+    if task == "survival":
+        mk["num_classes"] = run_args.get("num_bins", run_args.get("num_classes", 4))
+    else:
+        mk["num_classes"] = run_args.get("num_classes", mk.get("num_classes", 2))
+    if rna_dim is not None:
+        mk["rna_embed_dim"] = rna_dim
+    if run_args.get("amp", True):
+        mk.setdefault("dtype", run_args.get("amp_dtype", "bfloat16"))
+    mk.setdefault("use_pallas", jax.default_backend() == "tpu")
+    if run_args.get("wsi_feature_only"):
+        mk.setdefault("fusion", "add")
+    model = create_model(model_name, **mk)
+    num_tokens = int(run_args.get("num_wsi_feature_tokens", 2048))
+    wsi_only = bool(run_args.get("wsi_feature_only", False))
+    return model, num_tokens, wsi_only
+
+
+def predict(
+    checkpoint: str,
+    task: str,
+    wsi_feature_dir: str,
+    output: str,
+    rna_feature_csv: str = "",
+    batch_size: int = 16,
+    use_ema: bool = False,
+    seed: int = 42,
+) -> list:
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from mirror_tpu.data.formats import load_feature_file
+    from mirror_tpu.train.checkpoint import load_checkpoint_file
+    from mirror_tpu.train.steps import survival_risk
+
+    payload = load_checkpoint_file(checkpoint)
+    params = payload.get("ema_state_dict") if use_ema else None
+    if not params:
+        params = payload["state_dict"]
+
+    rna_df = None
+    rna_dim = None
+    if rna_feature_csv:
+        rna_df = pd.read_csv(rna_feature_csv, index_col=0)
+        rna_df.index = [str(i)[:15] for i in rna_df.index]
+        rna_dim = rna_df.shape[1]
+
+    model, num_tokens, wsi_only = _rebuild_model(payload, rna_dim, task)
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(wsi_feature_dir, "*"))
+        if f.endswith((".npy", ".pt"))
+    )
+    if rna_df is not None:
+        kept = [f for f in files
+                if os.path.basename(f).split(".")[0][:15] in rna_df.index]
+        if len(kept) < len(files):
+            _logger.warning("%d slides have no RNA row; skipped",
+                            len(files) - len(kept))
+        files = kept
+    if not files:
+        raise SystemExit(f"no usable feature files under {wsi_feature_dir}")
+
+    rng = np.random.default_rng(seed)
+    fwd = jax.jit(
+        lambda p, wsi, rna: model.apply(
+            {"params": p}, wsi, rna, True
+        ).astype(jnp.float32)
+    )
+
+    rows = []
+    for i in range(0, len(files), batch_size):
+        chunk = files[i : i + batch_size]
+        wsi = []
+        rna = []
+        for f in chunk:
+            feats = np.asarray(load_feature_file(f), np.float32)
+            idx = rng.choice(
+                feats.shape[0], num_tokens,
+                replace=feats.shape[0] < num_tokens,
+            )
+            wsi.append(feats[idx])
+            if rna_df is not None and not wsi_only:
+                sid = os.path.basename(f).split(".")[0][:15]
+                rna.append(rna_df.loc[sid].to_numpy(np.float32))
+        n_valid = len(chunk)
+        if n_valid < batch_size:  # pad to keep one compiled shape
+            wsi += [wsi[-1]] * (batch_size - n_valid)
+            if rna:
+                rna += [rna[-1]] * (batch_size - n_valid)
+        wsi_arr = jnp.asarray(np.stack(wsi))
+        rna_arr = jnp.asarray(np.stack(rna)) if rna else None
+        logits = np.asarray(fwd(params, wsi_arr, rna_arr))[:n_valid]
+        for f, lg in zip(chunk, logits):
+            sid = os.path.basename(f).split(".")[0]
+            if task == "survival":
+                rows.append({"slide_id": sid,
+                             "risk": float(survival_risk(lg[None])[0])})
+            else:
+                p = np.exp(lg - lg.max())
+                p = p / p.sum()
+                row = {"slide_id": sid,
+                       "pred": int(np.argmax(p))}
+                row.update({f"prob_{j}": float(v) for j, v in enumerate(p)})
+                rows.append(row)
+        _logger.info("scored %d/%d slides", min(i + batch_size, len(files)),
+                     len(files))
+
+    pd.DataFrame(rows).to_csv(output, index=False)
+    _logger.info("wrote %d predictions -> %s", len(rows), output)
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--task", required=True, choices=["subtyping", "survival"])
+    p.add_argument("--wsi-feature-dir", required=True)
+    p.add_argument("--rna-feature-csv", default="")
+    p.add_argument("--output", required=True)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--use-ema", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=42)
+    a = p.parse_args(argv)
+    predict(a.checkpoint, a.task, a.wsi_feature_dir, a.output,
+            a.rna_feature_csv, a.batch_size, a.use_ema, a.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""predict CLI: scores every feature file in a directory from a trained
+checkpoint (model rebuilt from the checkpoint's embedded run args)."""
+
+import os
+
+import pandas as pd
+import pytest
+import yaml
+
+import train_subtyping
+import train_survival
+from mirror_tpu.data import make_synthetic_cohort
+from mirror_tpu.tools.predict import predict
+
+TINY = dict(wsi_embed_dim=32, rna_embed_dim=96, embed_dim=48, rna_mlp_ratio=2.0)
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    root = tmp_path_factory.mktemp("predcohort")
+    return make_synthetic_cohort(
+        str(root), n_patients=24, feature_dim=32, rna_dim=96, num_folds=4
+    )
+
+
+def test_predict_subtyping(cohort, tmp_path):
+    cfg = dict(
+        wsi_feature_dir=cohort["subtype_feature_dir"],
+        rna_feature_csv=cohort["rna_csv"],
+        split_dir=cohort["splits_dir"],
+        classes=cohort["classes"],
+        num_classes=2,
+        num_wsi_feature_tokens=16,
+        batch_size=8,
+        epochs=1,
+        amp=False,
+        model="mirror_classifier",
+        model_kwargs={**TINY, "fusion": "concat"},
+        output=str(tmp_path / "out"),
+        experiment="p",
+    )
+    path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(path, "w"))
+    train_subtyping.main(["--config", path, "--fold-nb", "0"])
+    ckpt = str(tmp_path / "out" / "subtyping" / "p" / "model_best.msgpack")
+    assert os.path.exists(ckpt)
+
+    out_csv = str(tmp_path / "preds.csv")
+    rows = predict(
+        ckpt, "subtyping", cohort["feature_dir"], out_csv,
+        rna_feature_csv=cohort["rna_csv"], batch_size=8,
+    )
+    df = pd.read_csv(out_csv)
+    assert len(df) == len(rows) > 0
+    assert {"slide_id", "pred", "prob_0", "prob_1"} <= set(df.columns)
+    probs = df[["prob_0", "prob_1"]].to_numpy()
+    assert ((probs.sum(axis=1) - 1.0) ** 2 < 1e-8).all()
+
+
+def test_predict_survival(cohort, tmp_path):
+    cfg = dict(
+        wsi_feature_dir=cohort["feature_dir"],
+        rna_feature_csv=cohort["rna_csv"],
+        survival_csv=cohort["survival_csv"],
+        split_dir=cohort["splits_dir"],
+        num_bins=4,
+        num_classes=4,
+        num_wsi_feature_tokens=16,
+        batch_size=8,
+        epochs=1,
+        amp=False,
+        model="mirror_classifier",
+        model_kwargs={**TINY, "fusion": "concat"},
+        output=str(tmp_path / "out"),
+        experiment="s",
+    )
+    path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(path, "w"))
+    train_survival.main(["--config", path, "--fold-nb", "0"])
+    ckpt = str(tmp_path / "out" / "survival" / "s" / "model_best.msgpack")
+    assert os.path.exists(ckpt)
+
+    out_csv = str(tmp_path / "risks.csv")
+    predict(
+        ckpt, "survival", cohort["feature_dir"], out_csv,
+        rna_feature_csv=cohort["rna_csv"], batch_size=8,
+    )
+    df = pd.read_csv(out_csv)
+    assert {"slide_id", "risk"} <= set(df.columns)
+    assert df["risk"].notna().all()

@@ -3,7 +3,6 @@
 restarts from the recovery checkpoint)."""
 
 import glob
-import json
 import os
 import signal
 import subprocess
