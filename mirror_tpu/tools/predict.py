@@ -38,9 +38,16 @@ def _rebuild_model(payload, rna_dim, task):
     model_name = payload.get("arch") or run_args.get("model", "mirror_classifier")
     mk = dict(run_args.get("model_kwargs") or {})
     if task == "survival":
-        mk["num_classes"] = run_args.get("num_bins", run_args.get("num_classes", 4))
+        mk["num_classes"] = run_args.get("num_bins") or run_args.get(
+            "num_classes", 4
+        )
     else:
-        mk["num_classes"] = run_args.get("num_classes", mk.get("num_classes", 2))
+        # train_subtyping: num_classes = args.num_classes or len(args.classes)
+        mk["num_classes"] = (
+            run_args.get("num_classes")
+            or len(run_args.get("classes") or [])
+            or mk.get("num_classes", 2)
+        )
     if rna_dim is not None:
         mk["rna_embed_dim"] = rna_dim
     if run_args.get("amp", True):
