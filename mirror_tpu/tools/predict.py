@@ -92,6 +92,11 @@ def predict(
         rna_dim = rna_df.shape[1]
 
     model, num_tokens, wsi_only = _rebuild_model(payload, rna_dim, task)
+    if rna_df is None and not wsi_only:
+        raise SystemExit(
+            "this checkpoint's model fuses RNA (wsi_feature_only was off at "
+            "training time) — pass --rna-feature-csv"
+        )
 
     files = sorted(
         f for f in glob.glob(os.path.join(wsi_feature_dir, "*"))
