@@ -109,18 +109,13 @@ def main(argv=None):
     p.add_argument("--num-tokens", type=int, default=2048)
     p.add_argument("--wsi-dim", type=int, default=768)
     p.add_argument("--rna-dim", type=int, default=10234)
-    p.add_argument("--model-kwargs", nargs="*", default={},
+    from mirror_tpu.config import ParseKwargs
+
+    p.add_argument("--model-kwargs", nargs="*", default={}, action=ParseKwargs,
                    help="k=v pairs forwarded to the model registry")
     a = p.parse_args(argv)
-    mk = a.model_kwargs
-    if isinstance(mk, list):
-        from mirror_tpu.config import ParseKwargs
-
-        ns = argparse.Namespace()
-        ParseKwargs(None, "model_kwargs")(p, ns, mk)
-        mk = ns.model_kwargs
     export_model(a.mode, a.model, a.checkpoint, a.output, a.batch,
-                 a.num_tokens, a.wsi_dim, a.rna_dim, mk)
+                 a.num_tokens, a.wsi_dim, a.rna_dim, a.model_kwargs or {})
 
 
 if __name__ == "__main__":

@@ -81,3 +81,25 @@ def test_export_embed_roundtrip(tmp_path):
     wsi_e, rna_e = restored.call(wsi, rna)
     assert wsi_e.shape == (2, 48) and rna_e.shape == (2, 48)
     assert bool(jnp.isfinite(wsi_e).all() and jnp.isfinite(rna_e).all())
+
+
+def test_export_cli_model_kwargs(tmp_path):
+    """The CLI path parses k=v model kwargs and writes the artifact."""
+    mk = {**TINY, "num_classes": 2, "fusion": "concat"}
+    wsi = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 32))
+    rna = jax.random.normal(jax.random.PRNGKey(2), (1, 96))
+    _, _, ckpt = _save_ckpt(tmp_path, "mirror_classifier", (wsi, rna, True), mk)
+    out = str(tmp_path / "cli.stablehlo")
+
+    from mirror_tpu.tools.export_model import main
+
+    main([
+        "--checkpoint", ckpt, "--output", out, "--mode", "classifier",
+        "--model", "mirror_classifier", "--batch", "1", "--num-tokens", "16",
+        "--wsi-dim", "32", "--rna-dim", "96",
+        "--model-kwargs", "wsi_embed_dim=32", "rna_embed_dim=96",
+        "embed_dim=48", "rna_mlp_ratio=2.0", "num_classes=2",
+        "fusion=concat",
+    ])
+    assert os.path.exists(out)
+    assert json.load(open(out + ".json"))["inputs"]["wsi"] == [1, 16, 32]
