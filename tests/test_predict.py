@@ -88,3 +88,32 @@ def test_predict_survival(cohort, tmp_path):
     df = pd.read_csv(out_csv)
     assert {"slide_id", "risk"} <= set(df.columns)
     assert df["risk"].notna().all()
+
+
+def test_predict_wsi_only(cohort, tmp_path):
+    cfg = dict(
+        wsi_feature_dir=cohort["subtype_feature_dir"],
+        rna_feature_csv=cohort["rna_csv"],
+        split_dir=cohort["splits_dir"],
+        classes=cohort["classes"],
+        num_classes=2,
+        num_wsi_feature_tokens=16,
+        batch_size=8,
+        epochs=1,
+        amp=False,
+        wsi_feature_only=True,
+        model="mirror_classifier",
+        model_kwargs={**TINY},
+        output=str(tmp_path / "out"),
+        experiment="w",
+    )
+    path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(path, "w"))
+    train_subtyping.main(["--config", path, "--fold-nb", "0"])
+    ckpt = str(tmp_path / "out" / "subtyping" / "w" / "model_best.msgpack")
+
+    out_csv = str(tmp_path / "preds.csv")
+    # no RNA csv needed for a wsi-only checkpoint
+    predict(ckpt, "subtyping", cohort["feature_dir"], out_csv, batch_size=8)
+    df = pd.read_csv(out_csv)
+    assert len(df) > 0 and "prob_1" in df.columns
