@@ -90,8 +90,11 @@ class _BaseDataset:
     def _cache_data(self) -> None:
         for slide in self.used_feature_ids:
             if slide not in self._cache_store:
-                self._cache_store[slide] = np.asarray(
-                    load_feature_file(self._feature_path(slide))
+                # np.array(copy=True): load_feature_file returns a memmap for
+                # .npy cohorts and np.asarray would keep it memory-mapped —
+                # no RAM materialization AND one open fd per slide forever
+                self._cache_store[slide] = np.array(
+                    load_feature_file(self._feature_path(slide)), copy=True
                 )
 
     def wsi_npy_path(self, idx: int) -> Optional[str]:
@@ -437,7 +440,11 @@ class SurvivalDataset(_BaseDataset):
 
     def _surv_row(self, slide: str) -> dict:
         rows = self._surv_cache.get(slide[:15], [])
-        assert len(rows) == 1, f"Multiple records exist for slide {slide}"
+        assert len(rows) == 1, (
+            f"{'Multiple' if rows else 'No'} survival records for slide "
+            f"{slide} (matched on the 15-char Sample ID prefix "
+            f"{slide[:15]!r}; check the survival CSV's id format)"
+        )
         return rows[0]
 
     def _meta(self, slide: str) -> dict:

@@ -78,6 +78,11 @@ class Loader:
     def _indices(self, rng: np.random.Generator) -> np.ndarray:
         n = len(self.dataset)
         if self.weighted:
+            if self._weights is None or len(self._weights) != n:
+                # the shared dataset object may have switched fold/split
+                # since construction (train_survival's eval_fn does) —
+                # recompute so weights always match the live index space
+                self._weights = class_balanced_weights(self.dataset)
             p = self._weights / self._weights.sum()
             return rng.choice(n, size=n, replace=True, p=p)
         idx = np.arange(n)
@@ -144,23 +149,53 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error = []
+        stop = threading.Event()  # set when the consumer abandons iteration
 
         def producer():
             try:
                 for c in chunks:
-                    q.put(self._make_batch(c, rng))
+                    batch = self._make_batch(c, rng)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:  # surface loader errors in the main thread
                 error.append(e)
             finally:
-                q.put(sentinel)
+                # the sentinel MUST reach the consumer or it blocks forever
+                # on q.get() (the queue can be full of unconsumed batches at
+                # normal completion); only give up once the consumer has
+                # signalled abandonment
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # runs on normal exhaustion AND on generator close (break /
+            # exception in the consumer): without it the producer would
+            # block forever on q.put and leak a thread + prefetched
+            # batches (~400 MB each at production shapes) per epoch
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
         if error:
             raise error[0]

@@ -68,6 +68,14 @@ class MIRRORClassifier(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         wsi_emb = self.wsi_encoder(wsi_emb, deterministic)
+        if rna_emb is None and self.fusion == "concat":
+            # fail loudly like the reference's Linear(2*embed_dim, C) would:
+            # running concat-fusion wsi-only would silently build an
+            # embed_dim-wide head incompatible with the fused eval path
+            raise ValueError(
+                "fusion='concat' requires an RNA input; use fusion='add' "
+                "(or wsi_feature_only mode) for WSI-only classification"
+            )
         fused = None
         if rna_emb is not None:
             rna_emb = self.rna_encoder(rna_emb, deterministic)

@@ -129,8 +129,9 @@ def _rbg_bernoulli(key: jax.Array, keep_prob: float, shape) -> jax.Array:
         rbg_key, shape, dtype=jnp.uint32,
         algorithm=jax.lax.RandomAlgorithm.RNG_DEFAULT,  # TPU hw generator
     )
-    # P(bits < t) = t / 2^32; keep_prob < 1 here so t fits in uint32
-    thresh = jnp.uint32(int(round(keep_prob * 4294967296.0)))
+    # P(bits < t) = t / 2^32; clamp so a keep_prob that ROUNDS to 1.0
+    # (rate < ~1.2e-10) can't wrap uint32 to 0 and invert the mask
+    thresh = jnp.uint32(min(int(round(keep_prob * 4294967296.0)), 2**32 - 1))
     return bits < thresh
 
 

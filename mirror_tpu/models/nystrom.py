@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import dense, torch_bias_init, torch_default_init
+from .layers import RematDropout, dense, torch_bias_init, torch_default_init
 
 
 import functools
@@ -166,7 +166,8 @@ class NystromAttention(nn.Module):
     pinv_iterations: int = 6
     residual: bool = True
     residual_conv_kernel: int = 33
-    eps: float = 1e-8
+    # (the reference package's `eps` only guards MASKED landmark means; this
+    # port supports no key mask, so the field was dead config and is removed)
     dropout: float = 0.0
     use_pallas: bool = False
     pinv_grad: str = "exact"  # "exact" | "implicit" (see moore_penrose_pinv_implicit)
@@ -283,8 +284,6 @@ class NystromAttention(nn.Module):
                 kernel_init=kernel_init or torch_default_init,
                 dtype=self.dtype, name="to_out",
             )(out_hm.astype(x.dtype))
-            from .layers import RematDropout
-
             out = RematDropout(self.dropout, name="out_dropout")(
                 out, deterministic
             )
@@ -330,7 +329,5 @@ class NystromAttention(nn.Module):
         out = dense(
             d, inner, kernel_init=kernel_init, name="to_out", dtype=self.dtype
         )(out)
-        from .layers import RematDropout
-
         out = RematDropout(self.dropout, name="out_dropout")(out, deterministic)
         return out[:, -n:]  # drop the front padding

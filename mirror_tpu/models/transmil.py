@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import dense, normal_init, torch_bias_init, torch_default_init, trunc_normal_init
+from .layers import dense, l2_normalize, normal_init, torch_bias_init, torch_default_init, trunc_normal_init
 from .nystrom import NystromAttention
 
 
@@ -257,8 +257,6 @@ class FeatureTransMILHybrid(FeatureTransMIL):
         return h
 
     def forward_alignment_head(self, h: jax.Array) -> jax.Array:
-        from .layers import l2_normalize
-
         h = l2_normalize(h)
         return self.alignment_head(h[:, 0, :])
 

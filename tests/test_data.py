@@ -128,3 +128,39 @@ def test_weighted_sampler_balances_classes(cohort):
         loader.set_epoch(loader.epoch + 1)
     ratio = counts[0] / counts.sum()
     assert 0.3 < ratio < 0.7  # roughly balanced regardless of class skew
+
+
+def test_loader_early_abandonment_stops_producer():
+    """Breaking out of loader iteration (preemption, exceptions) must stop
+    the prefetch thread instead of leaving it blocked on a full queue, and
+    normal exhaustion must still deliver every batch + terminate."""
+    import threading
+
+    from mirror_tpu.data.loader import Loader
+
+    class Tiny:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i, rng=None):
+            import numpy as np
+
+            return {"x": np.full((4,), i, np.float32)}
+
+    before = threading.active_count()
+    loader = Loader(Tiny(), batch_size=4, shuffle=False, drop_last=True,
+                    use_native=False, prefetch=2)
+    # abandon mid-iteration
+    for n, batch in enumerate(loader):
+        if n == 1:
+            break
+    # normal full pass still yields everything
+    count = sum(1 for _ in loader)
+    assert count == 8
+    # give threads a beat to wind down; no producer may linger
+    import time
+
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, threading.enumerate()
