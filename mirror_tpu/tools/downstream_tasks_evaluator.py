@@ -26,7 +26,9 @@ def find_fold_checkpoint(pretrain_root: str, fold: int) -> Optional[str]:
     """Latest run dir whose name contains ``fold_{fold}``, best checkpoint."""
     run_dirs = sorted(
         d for d in glob.glob(os.path.join(pretrain_root, "*"))
-        if os.path.isdir(d) and f"fold_{fold}" in os.path.basename(d)
+        # exact suffix match: a "fold_1" substring test would also match
+        # fold_10+ and silently pick ANOTHER fold's checkpoint (leakage)
+        if os.path.isdir(d) and os.path.basename(d).endswith(f"fold_{fold}")
     )
     for d in reversed(run_dirs):
         for name in ("model_best.msgpack", "model_best.orbax",

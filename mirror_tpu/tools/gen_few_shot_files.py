@@ -49,16 +49,29 @@ def gen_few_shot(dataset, task, output_dir, shots, k, num_tokens, class_name):
         for shot in shots:
             _logger.info("Generating %d-shot files for %s fold %d", shot, task, fold)
             support = []
-            for label, ids in groups.items():
-                while True:
-                    cand = random.choices(ids, k=shot)
-                    ok = all(
-                        len(load_feature_file(dataset._feature_path(s))) >= num_tokens
-                        for s in cand
+            # patch counts read ONCE per slide (memoized): the rejection loop
+            # used to reload full feature files on every attempt, and a label
+            # group with no eligible slide spun forever
+            n_patches: dict = getattr(dataset, "_few_shot_len_cache", {})
+            dataset._few_shot_len_cache = n_patches
+
+            def _len(s):
+                if s not in n_patches:
+                    n_patches[s] = len(
+                        load_feature_file(dataset._feature_path(s))
                     )
-                    if ok:
-                        break
-                support.extend(cand)
+                return n_patches[s]
+
+            for label, ids in groups.items():
+                eligible = [s for s in ids if _len(s) >= num_tokens]
+                if not eligible:
+                    raise SystemExit(
+                        f"label {label} (fold {fold}) has no slide with >= "
+                        f"{num_tokens} patches — cannot draw a {shot}-shot "
+                        "support set (the rejection sampling would never "
+                        "terminate)"
+                    )
+                support.extend(random.choices(eligible, k=shot))
             support = [s[:12] for s in support]
             query = [s[:12] for s in dataset.val_feature_ids]
             df = pd.DataFrame(

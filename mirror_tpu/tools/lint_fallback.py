@@ -1,9 +1,9 @@
 """Stdlib lint gate for environments without ruff/mypy (this build image).
 
-Checks, per Python file: syntax (compile), unused imports, undefined names at
-module scope via a light AST pass, and accidental ``print`` in library code
-(``mirror_tpu/`` excluding ``tools/``). scripts/lint.sh prefers real
-ruff/mypy when installed and falls back to this.
+Checks, per Python file: syntax (ast.parse), unused imports, and accidental
+``print`` in library code (``mirror_tpu/`` excluding ``tools/`` CLIs and
+test files — library modules log via ``logging``). scripts/lint.sh prefers
+real ruff/mypy when installed and falls back to this.
 """
 
 from __future__ import annotations
@@ -62,6 +62,29 @@ def check_file(path: Path) -> list[str]:
         for name, lineno in _imported_names(tree):
             if name not in used and name != "_":
                 problems.append(f"{path}:{lineno}: unused import '{name}'")
+
+    # library modules must log, not print (CLIs under tools/ may print)
+    parts = path.parts
+    in_library = (
+        "mirror_tpu" in parts
+        and "tools" not in parts
+        and not path.name.startswith("test")
+    )
+    if in_library:
+        lines = src.splitlines()
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == "print"
+            ):
+                line = lines[node.lineno - 1] if node.lineno <= len(lines) else ""
+                if "lint: allow-print" in line:
+                    continue  # deliberate stdout contract (e.g. --result)
+                problems.append(
+                    f"{path}:{node.lineno}: print() in library code "
+                    "(use logging, or mark '# lint: allow-print')"
+                )
     return problems
 
 

@@ -89,6 +89,9 @@ def predict(
     if rna_feature_csv:
         rna_df = pd.read_csv(rna_feature_csv, index_col=0)
         rna_df.index = [str(i)[:15] for i in rna_df.index]
+        # same dedup as datasets._filter_data: two vials sharing a 15-char
+        # prefix would make .loc return a frame and break batch assembly
+        rna_df = rna_df.loc[~rna_df.index.duplicated(keep="first")]
         rna_dim = rna_df.shape[1]
 
     model, num_tokens, wsi_only = _rebuild_model(payload, rna_dim, task)

@@ -30,7 +30,9 @@ def newest_resumable(output_root: str, fold: int):
     for name in ("recovery.msgpack", "recovery.orbax",
                  "last.msgpack", "last.orbax"):
         for path in glob.glob(
-            os.path.join(output_root, "pretrain", f"*fold_{fold}*", name)
+            # *fold_{fold} (no trailing wildcard): *fold_1* also matches
+            # fold_10+ run dirs and could resume from another fold
+            os.path.join(output_root, "pretrain", f"*fold_{fold}", name)
         ):
             candidates.append((os.path.getmtime(path), path))
     return max(candidates)[1] if candidates else None

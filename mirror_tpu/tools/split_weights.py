@@ -66,7 +66,9 @@ def main():
     p.add_argument("--output-dir", default="")
     a = p.parse_args()
     path = a.checkpoint
-    if os.path.isdir(path):
+    # orbax checkpoints ARE directories; only treat a dir as a run dir to
+    # search when it is not itself a loadable checkpoint
+    if os.path.isdir(path) and not path.rstrip("/").endswith(".orbax"):
         path = find_latest_checkpoint(path)
     split_weights(path, a.output_dir)
 

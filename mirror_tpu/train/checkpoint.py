@@ -130,6 +130,7 @@ class CheckpointSaver:
         # arrays it cannot restore.
         return {
             "epoch": epoch,
+            "step": int(state.step),  # EMA-decay / schedule-count counter
             "arch": self.arch,
             "state_dict": _to_host(state.params),
             "ema_state_dict": (
@@ -191,7 +192,13 @@ def resume_checkpoint(
     (state, start_epoch) — start_epoch = saved epoch + 1 (timm convention)."""
     payload = load_checkpoint_file(path)
     params = serialization.from_state_dict(state.params, payload["state_dict"])
-    new_state = state.replace(params=params)
+    # restore the step counter: without it the non-MultiSteps EMA decay
+    # restarts at step 0 and the warmup branch OVERWRITES the restored EMA
+    # shadow with raw params on the first post-resume update (and logged lr
+    # falls back to the warmup phase)
+    new_state = state.replace(
+        params=params, step=int(payload.get("step", 0))
+    )
     if payload.get("ema_state_dict") and state.ema_params is not None:
         new_state = new_state.replace(
             ema_params=serialization.from_state_dict(

@@ -311,7 +311,8 @@ class TrainHarness:
         if wandb_run is not None:
             wandb_run.summary.update(results)
             wandb_run.finish()
-        print(f"--result\n{json.dumps(results, indent=4)}")
+        # stdout contract (reference prints --result; tests parse it)
+        print(f"--result\n{json.dumps(results, indent=4)}")  # lint: allow-print
         return results
 
 

@@ -131,10 +131,11 @@ def concordance_index_censored(
     concordant = int(np.sum(comparable & ~ties & (diff > 0)))
     discordant = int(np.sum(comparable & ~ties & (diff < 0)))
     tied_risk = int(np.sum(comparable & ties))
-    # informational: pairs of events sharing an event time
-    tied_time = int(
-        np.sum(np.triu(ev_i & ev_j & (t_i == t_j), k=1))
-    )
+    # sksurv's tied_time: comparable pairs where the times are EQUAL, i.e. an
+    # event i against a censored j at the same time (event-event time ties
+    # are not comparable and are excluded — a previous version counted those
+    # instead, which matches nothing sksurv reports)
+    tied_time = int(np.sum(ev_i & (t_j == t_i) & ~ev_j))
 
     total = concordant + discordant + tied_risk
     if total == 0:

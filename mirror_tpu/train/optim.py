@@ -299,11 +299,23 @@ def make_optimizer(
         nesterov = opt_name != "momentum"
         chain.append(optax.trace(decay=args.momentum, nesterov=nesterov))
     elif opt_name == "lamb":
-        return optax.inject_hyperparams(optax.lamb)(
-            learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
-            weight_decay=args.weight_decay, **opt_kwargs,
-        )
+        # composed from optax.lamb's internals (scale_by_adam ->
+        # add_decayed_weights -> scale_by_trust_ratio) so it flows through
+        # the shared tail below like every other optimizer — the previous
+        # early-return silently dropped grad clipping, the plateau host-LR,
+        # linear-probe freezing, AND MultiSteps grad accumulation
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        if args.weight_decay:
+            chain.append(
+                optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask)
+            )
+        chain.append(optax.scale_by_trust_ratio())
     elif opt_name == "adagrad":
+        # torch Adagrad couples weight decay into the grad like SGD/RMSprop
+        if args.weight_decay:
+            chain.append(
+                optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask)
+            )
         chain.append(optax.scale_by_rss(initial_accumulator_value=0.0, eps=eps))
     elif opt_name == "rmsprop":
         # torch RMSprop also couples decay into the grad before scaling

@@ -2,6 +2,7 @@
 /root/reference/train_mirror.py:644)."""
 
 import logging
+import logging.handlers
 
 
 class _FormatterNoInfo(logging.Formatter):

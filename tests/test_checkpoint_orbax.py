@@ -121,3 +121,19 @@ def test_immediately_evicted_checkpoint_leaves_no_orphan(tmp_path, fmt):
     assert int(back["epoch"]) == 1
     back = load_checkpoint_file(str(tmp_path / f"model_best{ext}"))
     assert int(back["epoch"]) == 0
+
+
+def test_resume_restores_step_counter(tmp_path):
+    """TrainState.step must survive save/resume: the EMA decay and the
+    schedule-count logging are driven by it, and a step that restarts at 0
+    made the first post-resume EMA update OVERWRITE the restored shadow
+    (decay 0 at step<=0, timm first-update-copies semantics)."""
+    state = _tiny_state().replace(step=123)
+    saver = CheckpointSaver(str(tmp_path), decreasing=True, async_save=False)
+    saver.save_checkpoint(state, 7, 0.5)
+    fresh = _tiny_state()
+    restored, start_epoch = resume_checkpoint(
+        fresh, str(tmp_path / "last.msgpack")
+    )
+    assert int(restored.step) == 123
+    assert start_epoch == 8

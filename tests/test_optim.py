@@ -233,3 +233,38 @@ def test_adam_weight_decay_matches_torch_coupled_l2():
     np.testing.assert_allclose(
         np.asarray(params["w"]), wt.detach().numpy(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_lamb_flows_through_shared_chain():
+    """opt=lamb must not bypass clipping / grad accumulation (the old
+    early-return dropped both silently)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mirror_tpu.train.optim import make_optimizer, make_schedule
+
+    class A:
+        opt = "lamb"
+        opt_eps = None
+        opt_betas = None
+        momentum = 0.9
+        weight_decay = 0.01
+        clip_grad = 1.0
+        clip_mode = "norm"
+        opt_kwargs = {}
+        use_sched = False
+        grad_accum_steps = 2
+
+    tx = make_optimizer(A, make_schedule(A, 1, 1e-3))
+    params = {"w": jnp.ones((4, 4))}
+    state = tx.init(params)
+    assert isinstance(state, optax.MultiStepsState)  # accumulation wrapped
+    g = {"w": jnp.full((4, 4), 100.0)}  # would explode without clipping
+    # micro-step 1: no real update yet
+    updates, state = tx.update(g, state, params)
+    assert float(jnp.abs(updates["w"]).max()) == 0.0
+    # micro-step 2: real update, finite and small (clipped + trust ratio)
+    updates, state = tx.update(g, state, params)
+    assert float(jnp.abs(updates["w"]).max()) > 0.0
+    assert bool(jnp.isfinite(updates["w"]).all())
