@@ -81,6 +81,7 @@ def local_clip_loss(
     logit_scale: jax.Array,
     mesh,
     axis_name: str = "data",
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-shard contrastive loss — the reference's EXACT multi-GPU
     semantics: every rank computes CE over only its local batch's negatives
@@ -99,15 +100,26 @@ def local_clip_loss(
 
     from jax.sharding import PartitionSpec as P
 
-    def per_shard(w, r, ls):
-        return jax.lax.pmean(clip_loss(w, r, ls[0]), axis_name)
+    if valid is None:
+        valid = jnp.ones((wsi_features.shape[0],), jnp.float32)
+
+    def per_shard(w, r, ls, v):
+        # per-shard masked CE (clip_loss handles the valid rows/negatives);
+        # average over shards that hold any valid rows — the DDP analogue of
+        # averaging per-rank means. A fully-padded shard (eval tail) is
+        # excluded instead of contributing NaN.
+        has = jnp.sum(v) > 0
+        loss = jnp.where(has, clip_loss(w, r, ls[0], valid=v), 0.0)
+        num = jax.lax.psum(loss, axis_name)
+        den = jax.lax.psum(has.astype(jnp.float32), axis_name)
+        return num / jnp.maximum(den, 1.0)
 
     return shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P()),
+        in_specs=(P(axis_name), P(axis_name), P(), P(axis_name)),
         out_specs=P(),
-    )(wsi_features, rna_features, logit_scale[None])
+    )(wsi_features, rna_features, logit_scale[None], valid)
 
 
 class MirrorLossWeights(NamedTuple):
@@ -153,7 +165,7 @@ def mirror_loss(
     """
     if alignment_loss_fn is not None:
         alignment_loss = alignment_loss_fn(
-            wsi_alignment_emb, rna_alignment_emb, logit_scale
+            wsi_alignment_emb, rna_alignment_emb, logit_scale, valid=valid
         )
     else:
         alignment_loss = clip_loss(

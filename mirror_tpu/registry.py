@@ -42,7 +42,9 @@ def _resolve_common(kwargs: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(kwargs)
     norm_layer = out.pop("rna_norm_layer", None)
     if norm_layer in ("layernorm", "layer_norm"):
-        out["rna_norm_eps"] = 1e-5
+        # setdefault: an explicitly supplied eps must win over the
+        # "layernorm" preset (the assignment form silently clobbered it)
+        out.setdefault("rna_norm_eps", 1e-5)
     elif norm_layer in (None, ""):
         out.setdefault("rna_norm_eps", 1e-6)
     else:

@@ -275,6 +275,23 @@ class TrainHarness:
                 wandb_run.log(payload, step=epoch)
             metric_source = eval_metrics or train_metrics
             metric_val = metric_source.get(self.eval_metric)
+            # the reference selects checkpoints by the EMA model's metric
+            # when model_ema is on (train_mirror.py:1022-1037 swaps in the
+            # EMA eval metrics before the saver)
+            if (
+                self.state.ema_params is not None
+                and eval_metrics
+                and f"ema_{self.eval_metric}" in eval_metrics
+            ):
+                metric_val = eval_metrics[f"ema_{self.eval_metric}"]
+            if metric_val is not None and np.isnan(metric_val):
+                # e.g. a c-index over an all-censored early val fold: a NaN
+                # must not poison best-checkpoint ranking or plateau logic
+                _logger.warning(
+                    "eval metric %s is NaN at epoch %d; skipping ranking",
+                    self.eval_metric, epoch,
+                )
+                metric_val = None
             if self.lr_controller is not None:
                 # metric-driven (plateau) LR step at the epoch boundary, like
                 # the reference's lr_scheduler.step(epoch+1, eval_metric)
@@ -285,7 +302,9 @@ class TrainHarness:
                     "Plateau LR after epoch %d: %g", epoch,
                     self.lr_controller.current_lr,
                 )
-            if self.saver is not None and metric_val is not None:
+            if self.saver is not None:
+                # metric None (e.g. --no-val downstream runs, NaN epochs)
+                # still writes checkpoint-N + last — it only skips ranking
                 best_metric, best_epoch = self.saver.save_checkpoint(
                     self.state, epoch, metric_val
                 )

@@ -186,6 +186,7 @@ def make_mirror_eval_step(
     loss_weights: MirrorLossWeights,
     wsi_mask_ratio: float = 0.75,
     rna_mask_ratio: float = 0.75,
+    alignment_loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Validation forward (train_mirror.py:1382-1526). Dropout is off but
     masking noise and VAE sampling stay stochastic, exactly like torch
@@ -209,7 +210,14 @@ def make_mirror_eval_step(
             True,  # deterministic: no dropout
             rngs=rngs,
         )
-        losses = mirror_loss(*out, weights=loss_weights, valid=batch.get("valid"))
+        # local-negatives parity mode must eval with the SAME per-shard
+        # semantics it trains with (the reference's DDP validation is also
+        # per-rank) — otherwise the checkpoint-selection loss measures
+        # global-batch negatives only in eval
+        losses = mirror_loss(
+            *out, weights=loss_weights, valid=batch.get("valid"),
+            alignment_loss_fn=alignment_loss_fn,
+        )
         return {
             "loss": losses[0],
             "alignment_loss": losses[1],

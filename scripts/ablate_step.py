@@ -3,7 +3,7 @@
 components by replacing each with a cheap stand-in (numerics change, cost
 attribution doesn't). Scan-timed like bench.py.
 
-Usage: python scripts/ablate_step.py [full|nopinv|noppeg|noresconv|fwdonly|noln] ...
+Usage: python scripts/ablate_step.py [full|nopinv|noppeg|noresconv|fwdonly] ...
 """
 
 import functools
@@ -54,8 +54,18 @@ def build(fwd_only=False):
     return build_step(batch, use_pallas=True, fwd_only=fwd_only)
 
 
+KNOWN_MODES = {"full", "fwdonly", "nopinv", "noppeg", "noresconv"}
+
+
 def main():
     modes = sys.argv[1:] or ["full"]
+    unknown = [m for m in modes if m not in KNOWN_MODES]
+    if unknown:
+        raise SystemExit(
+            f"unknown ablation mode(s) {unknown}; choose from "
+            f"{sorted(KNOWN_MODES)} — a typo would silently time the FULL "
+            "step under the wrong label"
+        )
     import mirror_tpu.models.nystrom as nystrom_mod
     import mirror_tpu.models.transmil as transmil_mod
 

@@ -198,3 +198,31 @@ def test_clip_pretrain(cohort, out_root):
     )
     results = train_pretrain.main(["--config", cfg, "--fold-nb", "0"])
     assert results["best_metric"] is None or results["best_metric"] > 0
+
+
+def test_no_val_still_writes_checkpoints(cohort, out_root):
+    """--no-val has no eval metric; checkpoints (last + numbered) must still
+    be written — the old metric-gated save skipped the saver entirely and a
+    completed run left NO weights on disk."""
+    cfg = _write_cfg(
+        os.path.join(out_root, "noval.yaml"),
+        wsi_feature_dir=cohort["subtype_feature_dir"],
+        rna_feature_csv=cohort["rna_csv"],
+        split_dir=cohort["splits_dir"],
+        classes=cohort["classes"],
+        num_classes=2,
+        num_wsi_feature_tokens=32,
+        batch_size=8,
+        epochs=1,
+        amp=False,
+        model="mirror_classifier",
+        model_kwargs={**TINY_MODEL, "fusion": "concat"},
+        output=os.path.join(out_root, "noval_runs"),
+        experiment="nv",
+    )
+    import train_subtyping
+
+    train_subtyping.main(["--config", cfg, "--fold-nb", "0", "--no-val"])
+    run_dir = os.path.join(out_root, "noval_runs", "subtyping", "nv")
+    assert os.path.exists(os.path.join(run_dir, "last.msgpack"))
+    assert glob.glob(os.path.join(run_dir, "checkpoint-0*"))

@@ -151,7 +151,8 @@ def main(argv=None):
     )
     eval_step = jax.jit(
         make_mirror_eval_step(
-            model, loss_weights, args.wsi_mask_ratio, args.rna_mask_ratio
+            model, loss_weights, args.wsi_mask_ratio, args.rna_mask_ratio,
+            alignment_loss_fn=alignment_loss_fn,
         )
     )
 

@@ -71,6 +71,11 @@ def clamp_batch_size(batch_size: int, dataset_len: int) -> int:
 
 def main(argv=None):
     args, args_text = parse_args("subtyping", argv)
+    if args.model == "mirror":
+        # the config default is the pretrain model; downstream tasks
+        # use the classifier head (mirror gets num_classes/fusion
+        # silently filtered and then crashes deep in init)
+        args.model = "mirror_classifier"
     rng, mesh, out_dir = common_setup(args, "subtyping")
     n_devices = mesh.devices.size
 

@@ -43,6 +43,11 @@ _logger = logging.getLogger("train")
 
 def main(argv=None):
     args, args_text = parse_args("survival", argv)
+    if args.model == "mirror":
+        # the config default is the pretrain model; downstream tasks
+        # use the classifier head (mirror gets num_classes/fusion
+        # silently filtered and then crashes deep in init)
+        args.model = "mirror_classifier"
     rng, mesh, out_dir = common_setup(args, "survival")
     n_devices = mesh.devices.size
 
