@@ -37,16 +37,26 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a per-pid temp path and os.rename into place: two processes
+    # building concurrently (pytest -n, parallel fold jobs) must not
+    # interleave writes into the same .so (a corrupt library with a fresh
+    # mtime would look up-to-date and disable the fast path forever)
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB, _SRC, "-lpthread",
+        "-o", tmp, _SRC, "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         msg = getattr(e, "stderr", str(e))
         _logger.warning("native loader build failed: %s", msg)
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -119,9 +129,21 @@ def gather_batch(
     if feature_dim is None:
         _, feature_dim = npy_shape(paths[0])
     batch = len(paths)
+    if len(seeds) != batch:
+        # a short seeds list would zero-fill the ctypes array: trailing
+        # slides silently resampled with seed 0 every single batch
+        raise ValueError(f"{len(seeds)} seeds for {batch} paths")
     if out is None:
         out = np.empty((batch, n_tokens, feature_dim), dtype=np.float32)
-    assert out.shape == (batch, n_tokens, feature_dim) and out.dtype == np.float32
+    # real checks (assert vanishes under python -O): C++ writes
+    # batch*n_tokens*D contiguous floats through the base pointer
+    if out.shape != (batch, n_tokens, feature_dim) or out.dtype != np.float32:
+        raise ValueError(
+            f"out must be float32 {(batch, n_tokens, feature_dim)}, "
+            f"got {out.dtype} {out.shape}"
+        )
+    if not out.flags["C_CONTIGUOUS"]:
+        raise ValueError("out must be C-contiguous")
 
     c_paths = (ctypes.c_char_p * batch)(*[p.encode() for p in paths])
     c_seeds = (ctypes.c_uint64 * batch)(*[int(s) & (2**64 - 1) for s in seeds])

@@ -69,7 +69,7 @@ def make_synthetic_cohort(
             save_feature_file(os.path.join(cdir, f"{slide}.{fmt}"), feats)
 
     rna = rng.normal(size=(n_patients, rna_dim)).astype(np.float32)
-    if classes is not None:
+    if classes:  # truthiness like every other guard: classes=() is no-class
         rna[:, : len(classes)] += np.eye(len(classes))[labels] * 2.0
     rna_df = pd.DataFrame(
         rna, index=samples, columns=[f"gene_{g}" for g in range(rna_dim)]

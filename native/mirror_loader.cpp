@@ -17,6 +17,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <algorithm>
 #include <cstdio>
 #include <cstring>
 #include <random>
@@ -83,9 +84,16 @@ NpyInfo parse_npy_header(const unsigned char* buf, size_t size) {
     return info;
   }
   const std::string shape = header.substr(open + 1, close - open - 1);
-  if (std::sscanf(shape.c_str(), "%ld, %ld", &info.rows, &info.cols) != 2 &&
-      std::sscanf(shape.c_str(), "%ld,%ld", &info.rows, &info.cols) != 2) {
+  // exactly one comma => 2-D; sscanf alone would silently accept the first
+  // two dims of an N-D array and read it with wrong strides
+  if (std::count(shape.begin(), shape.end(), ',') != 1 ||
+      (std::sscanf(shape.c_str(), "%ld, %ld", &info.rows, &info.cols) != 2 &&
+       std::sscanf(shape.c_str(), "%ld,%ld", &info.rows, &info.cols) != 2)) {
     info.error = "shape is not 2-D";
+    return info;
+  }
+  if (info.rows < 0 || info.cols <= 0) {
+    info.error = "bad dims";
     return info;
   }
   info.data_offset = static_cast<int64_t>(header_start + header_len);
@@ -127,6 +135,20 @@ int gather_one(const char* path, int64_t n_tokens, int64_t feature_dim,
   if (!info.ok || info.cols != feature_dim) {
     ::munmap(m.data, m.size);
     return info.ok ? -3 : -2;
+  }
+  // a truncated file whose header promises more data than is mapped would
+  // make the memcpys below read past the mapping (SIGBUS, uncatchable)
+  const uint64_t need = static_cast<uint64_t>(info.rows) *
+                        static_cast<uint64_t>(info.cols) * sizeof(float);
+  if (static_cast<uint64_t>(info.data_offset) + need > m.size) {
+    ::munmap(m.data, m.size);
+    return -4;  // truncated data section
+  }
+  if (info.rows == 0) {
+    // uniform_int_distribution(0, -1) is UB; mirror the numpy path's
+    // rng.choice(0, t) ValueError with a clean error code instead
+    ::munmap(m.data, m.size);
+    return -5;  // empty slide
   }
   const float* rows =
       reinterpret_cast<const float*>(m.data + info.data_offset);

@@ -98,3 +98,47 @@ def test_loader_native_fast_path(tmp_path):
     pb = list(loader_py)
     assert pb[0]["wsi"].shape == batches[0]["wsi"].shape
     np.testing.assert_array_equal(pb[0]["rna"], batches[0]["rna"])
+
+
+def test_native_rejects_malformed_npy(tmp_path):
+    """The C++ gather must fail cleanly (error code -> ValueError) on files
+    that would previously read out of bounds or hit UB: truncated data
+    sections (SIGBUS), zero-row slides (uniform_int_distribution(0,-1) UB),
+    and N-D arrays silently parsed as 2-D; short seed lists must not
+    zero-fill (seed-0 resampling every batch)."""
+    import numpy as np
+    import pytest
+
+    from mirror_tpu.data import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("native loader unavailable")
+    ok = str(tmp_path / "ok.npy")
+    np.save(ok, np.random.rand(10, 8).astype(np.float32))
+    assert nl.gather_batch([ok], 4, [1], feature_dim=8).shape == (1, 4, 8)
+
+    empty = str(tmp_path / "empty.npy")
+    np.save(empty, np.zeros((0, 8), np.float32))
+    with pytest.raises(ValueError):
+        nl.gather_batch([empty], 4, [1], feature_dim=8)
+
+    trunc = str(tmp_path / "trunc.npy")
+    np.save(trunc, np.random.rand(100, 8).astype(np.float32))
+    import os
+
+    with open(trunc, "r+b") as f:
+        f.truncate(os.path.getsize(trunc) - 2000)
+    with pytest.raises(ValueError):
+        nl.gather_batch([trunc], 4, [1], feature_dim=8)
+
+    nd = str(tmp_path / "nd.npy")
+    np.save(nd, np.random.rand(5, 8, 3).astype(np.float32))
+    with pytest.raises(ValueError):
+        nl.gather_batch([nd], 4, [1], feature_dim=8)
+
+    with pytest.raises(ValueError):
+        nl.gather_batch([ok, ok], 4, [1], feature_dim=8)  # short seeds
+    with pytest.raises(ValueError):
+        # shape matches but the buffer is a transposed view
+        out = np.empty((1, 8, 4), np.float32).transpose(0, 2, 1)
+        nl.gather_batch([ok], 4, [1], feature_dim=8, out=out)  # non-contig
