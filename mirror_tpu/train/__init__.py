@@ -6,7 +6,12 @@ from .checkpoint import (
     resume_checkpoint,
     save_checkpoint_file,
 )
-from .harness import TrainHarness, common_setup, update_summary
+from .harness import (
+    TrainHarness,
+    common_setup,
+    gather_eval_outputs,
+    update_summary,
+)
 from .optim import (
     PlateauController,
     make_optimizer,
@@ -19,6 +24,7 @@ from . import metrics, steps
 __all__ = [
     "CheckpointSaver",
     "TrainHarness",
+    "gather_eval_outputs",
     "TrainState",
     "common_setup",
     "create_train_state",

@@ -53,6 +53,41 @@ def update_summary(
         dw.writerow(rowd)
 
 
+def gather_eval_outputs(
+    mesh, eval_step, params, dataset, batch_size, n_devices,
+    extra_keys=(), seed=42, native_threads=8,
+):
+    """Shared downstream eval gather (subtyping + survival): round the
+    batch to a device multiple, pad the tail (``pad_last``), run the jitted
+    eval step over the mesh, and keep only the valid (non-padded) rows.
+
+    Returns (logits, labels, {key: array for key in extra_keys}).
+    """
+    from mirror_tpu.data import Loader
+
+    batch_size = ((batch_size + n_devices - 1) // n_devices) * n_devices
+    loader = Loader(
+        dataset, batch_size, shuffle=False, drop_last=False, pad_last=True,
+        seed=seed, native_threads=native_threads,
+    )
+    logits_all, labels_all = [], []
+    extras = {k: [] for k in extra_keys}
+    for host_batch in loader:
+        valid = host_batch.pop("valid")
+        batch = shard_batch(mesh, host_batch)
+        logits = np.asarray(eval_step(params, batch))
+        keep = valid > 0
+        logits_all.append(logits[keep])
+        labels_all.append(host_batch["label"][keep])
+        for k in extra_keys:
+            extras[k].append(host_batch[k][keep])
+    return (
+        np.concatenate(logits_all),
+        np.concatenate(labels_all),
+        {k: np.concatenate(v) for k, v in extras.items()},
+    )
+
+
 def setup_output_dir(args, task: str) -> Optional[str]:
     if not args.output:
         return None

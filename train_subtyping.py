@@ -11,16 +11,17 @@ import logging
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from mirror_tpu.config import parse_args, resolve_lr, resolve_use_pallas
 from mirror_tpu.data import Loader, SubtypingDataset
-from mirror_tpu.parallel import replicate, shard_batch
+from mirror_tpu.parallel import replicate
 from mirror_tpu.registry import create_model
 from mirror_tpu.train import (
     CheckpointSaver,
     TrainHarness,
     common_setup,
+    gather_eval_outputs,
     create_train_state,
     load_pretrained,
     make_optimizer,
@@ -181,23 +182,11 @@ def main(argv=None):
     avg = args.eval_metric_average
 
     def eval_fn(state, epoch, root_rng):
-        val_ds = dataset.val()
-        val_batch = args.validation_batch_size or batch_size
-        val_batch = ((val_batch + n_devices - 1) // n_devices) * n_devices
-        loader = Loader(
-            val_ds, val_batch, shuffle=False, drop_last=False, pad_last=True,
+        logits, labels, _ = gather_eval_outputs(
+            mesh, eval_step, state.params, dataset.val(),
+            args.validation_batch_size or batch_size, n_devices,
             seed=args.seed, native_threads=args.workers,
         )
-        logits_all, labels_all = [], []
-        for host_batch in loader:
-            valid = host_batch.pop("valid")
-            batch = shard_batch(mesh, host_batch)
-            logits = np.asarray(eval_step(state.params, batch))
-            keep = valid > 0
-            logits_all.append(logits[keep])
-            labels_all.append(host_batch["label"][keep])
-        logits = np.concatenate(logits_all)
-        labels = np.concatenate(labels_all)
         loss = float(
             smoothed_xent(jnp.asarray(logits), jnp.asarray(labels), 0.0)
         )

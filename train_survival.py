@@ -17,12 +17,13 @@ import numpy as np
 from mirror_tpu.config import parse_args, resolve_lr, resolve_use_pallas
 from mirror_tpu.data import Loader, SurvivalDataset
 from mirror_tpu.losses import ce_surv_loss, nll_surv_loss
-from mirror_tpu.parallel import replicate, shard_batch
+from mirror_tpu.parallel import replicate
 from mirror_tpu.registry import create_model
 from mirror_tpu.train import (
     CheckpointSaver,
     TrainHarness,
     common_setup,
+    gather_eval_outputs,
     create_train_state,
     load_pretrained,
     make_optimizer,
@@ -148,27 +149,14 @@ def main(argv=None):
     eval_step = jax.jit(make_survival_eval_step(model, args.wsi_feature_only))
 
     def eval_fn(state, epoch, root_rng):
-        val_ds = dataset.val()
-        val_batch = args.validation_batch_size or batch_size
-        val_batch = ((val_batch + n_devices - 1) // n_devices) * n_devices
-        loader = Loader(
-            val_ds, val_batch, shuffle=False, drop_last=False, pad_last=True,
+        logits, labels, extras = gather_eval_outputs(
+            mesh, eval_step, state.params, dataset.val(),
+            args.validation_batch_size or batch_size, n_devices,
+            extra_keys=("event_time", "censorship"),
             seed=args.seed, native_threads=args.workers,
         )
-        logits_all, labels_all, times_all, censor_all = [], [], [], []
-        for host_batch in loader:
-            valid = host_batch.pop("valid")
-            batch = shard_batch(mesh, host_batch)
-            logits = np.asarray(eval_step(state.params, batch))
-            keep = valid > 0
-            logits_all.append(logits[keep])
-            labels_all.append(host_batch["label"][keep])
-            times_all.append(host_batch["event_time"][keep])
-            censor_all.append(host_batch["censorship"][keep])
-        logits = np.concatenate(logits_all)
-        labels = np.concatenate(labels_all)
-        times = np.concatenate(times_all)
-        censor = np.concatenate(censor_all)
+        times = extras["event_time"]
+        censor = extras["censorship"]
         risks = np.asarray(survival_risk(logits))
         if args.loss == "ce_surv":
             loss = float(ce_surv_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(censor)))
