@@ -55,6 +55,7 @@ class Loader:
         self.prefetch = prefetch
         self.native_threads = native_threads
         self._weights = class_balanced_weights(dataset) if weighted else None
+        self._weights_key = self._dataset_key() if weighted else None
         # C++ fast path: eligible when the cohort is .npy-backed and the
         # native library builds (see mirror_tpu/data/native_loader.py)
         self._native = False
@@ -75,14 +76,25 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _dataset_key(self):
+        """Identity of the dataset's live index space: mode + fold + length.
+        Length alone is not enough — two folds/splits can have equal sizes,
+        which would silently reuse the other split's class weights."""
+        return (
+            getattr(self.dataset, "_mode", None),
+            getattr(self.dataset, "fold_nb", None),
+            len(self.dataset),
+        )
+
     def _indices(self, rng: np.random.Generator) -> np.ndarray:
         n = len(self.dataset)
         if self.weighted:
-            if self._weights is None or len(self._weights) != n:
+            if self._weights is None or self._weights_key != self._dataset_key():
                 # the shared dataset object may have switched fold/split
                 # since construction (train_survival's eval_fn does) —
                 # recompute so weights always match the live index space
                 self._weights = class_balanced_weights(self.dataset)
+                self._weights_key = self._dataset_key()
             p = self._weights / self._weights.sum()
             return rng.choice(n, size=n, replace=True, p=p)
         idx = np.arange(n)

@@ -55,13 +55,26 @@ def save_checkpoint_file(
     os.replace(tmp, path)
 
 
+def _from_orbax_leaf(x: Any) -> Any:
+    # Orbax round-trips python scalars/strings as 0-d numpy arrays; unwrap
+    # them so payload consumers (yaml.safe_load(payload['args']), registry
+    # lookup of payload['arch'], int(payload['epoch'])) see native types,
+    # matching what the msgpack loader returns.
+    arr = np.asarray(x)
+    if arr.ndim == 0 and arr.dtype.kind in ("U", "S", "O"):
+        return arr.item()
+    # numeric 0-d leaves stay numpy: resume() already coerces epoch/step via
+    # int(), and optax opt_state scalars (count) must remain arrays.
+    return arr
+
+
 def load_checkpoint_file(path: str) -> Dict[str, Any]:
     """Format auto-detected: orbax checkpoints are directories."""
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
         restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
-        return jax.tree.map(np.asarray, restored)
+        return jax.tree.map(_from_orbax_leaf, restored)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
@@ -154,6 +167,14 @@ class CheckpointSaver:
         payload = self._payload(state, epoch, metric)
         path = os.path.join(self.checkpoint_dir, f"checkpoint-{epoch}{self.ext}")
         last = os.path.join(self.checkpoint_dir, f"last{self.ext}")
+        if metric is None:
+            # unranked saves (--no-val runs, NaN-metric epochs) never enter
+            # checkpoint_files, so best-k pruning would never reclaim their
+            # per-epoch files — a long no-val run would accumulate one full
+            # checkpoint (params + adam moments + EMA) per epoch. Write only
+            # the rolling ``last`` (resume/downstream discovery use it).
+            self._dispatch([(last, payload)])
+            return self.best_metric, self.best_epoch
         writes = [(path, payload), (last, payload)]
 
         if metric is not None:

@@ -339,7 +339,8 @@ class TrainHarness:
                 )
             if self.saver is not None:
                 # metric None (e.g. --no-val downstream runs, NaN epochs)
-                # still writes checkpoint-N + last — it only skips ranking
+                # writes only the rolling ``last`` (no per-epoch file: those
+                # would never be pruned by best-k ranking)
                 best_metric, best_epoch = self.saver.save_checkpoint(
                     self.state, epoch, metric_val
                 )

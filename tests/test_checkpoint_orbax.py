@@ -43,7 +43,11 @@ def test_payload_roundtrip(tmp_path, fmt):
     save_checkpoint_file(path, payload, fmt=fmt)
     back = load_checkpoint_file(path)  # auto-detected by dir/file
     assert int(back["epoch"]) == 5
-    assert str(back["args"]) == "yaml text"
+    # native str, NOT a 0-d <U numpy array: predict.py feeds payload["args"]
+    # to yaml.safe_load and payload["arch"] to the registry lookup, both of
+    # which break on numpy string scalars
+    assert isinstance(back["args"], str) and back["args"] == "yaml text"
+    assert isinstance(back["arch"], str) and back["arch"] == "mirror"
     np.testing.assert_array_equal(back["state_dict"]["w"], payload["state_dict"]["w"])
 
 
@@ -121,6 +125,24 @@ def test_immediately_evicted_checkpoint_leaves_no_orphan(tmp_path, fmt):
     assert int(back["epoch"]) == 1
     back = load_checkpoint_file(str(tmp_path / f"model_best{ext}"))
     assert int(back["epoch"]) == 0
+
+
+def test_metric_none_saves_stay_bounded(tmp_path):
+    """Unranked saves (--no-val runs, NaN-metric epochs) must not accumulate
+    one per-epoch checkpoint forever: they never enter best-k ranking, so
+    only the rolling ``last`` is written."""
+    state = _tiny_state()
+    saver = CheckpointSaver(str(tmp_path), decreasing=True, max_history=2,
+                            async_save=False)
+    for epoch in range(6):
+        saver.save_checkpoint(state, epoch, metric=None)
+    files = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "*")))
+    assert files == ["last.msgpack"], files
+    back = load_checkpoint_file(str(tmp_path / "last.msgpack"))
+    assert int(back["epoch"]) == 5
+    # ranked saves still work after unranked ones
+    saver.save_checkpoint(state, 6, metric=0.4)
+    assert os.path.exists(str(tmp_path / "checkpoint-6.msgpack"))
 
 
 def test_resume_restores_step_counter(tmp_path):

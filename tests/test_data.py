@@ -130,6 +130,40 @@ def test_weighted_sampler_balances_classes(cohort):
     assert 0.3 < ratio < 0.7  # roughly balanced regardless of class skew
 
 
+def test_weighted_sampler_invalidates_on_split_switch():
+    """Switching the shared dataset to a same-length split must recompute
+    the class-balanced weights: the old guard keyed on len() only, so an
+    equal-sized fold silently reused the previous split's weights."""
+    from mirror_tpu.data.loader import Loader
+
+    class TwoSplit:
+        """4 samples either way; labels differ completely between modes."""
+
+        def __init__(self):
+            self._mode = "train"
+            self.fold_nb = 0
+
+        def __len__(self):
+            return 4
+
+        def get_label(self, i):
+            # train: classes [0,0,0,1] (heavy skew), val: [0,1,1,1]
+            return (1 if i == 3 else 0) if self._mode == "train" else (
+                0 if i == 0 else 1)
+
+        def __getitem__(self, i, rng=None):
+            return {"label": np.asarray(self.get_label(i), np.int32)}
+
+    ds = TwoSplit()
+    loader = Loader(ds, batch_size=4, weighted=True, drop_last=False,
+                    use_native=False, prefetch=0, seed=0)
+    w_train = loader._weights.copy()
+    ds._mode = "val"  # same length, different index space
+    list(loader)  # triggers _indices -> staleness check
+    assert not np.array_equal(loader._weights, w_train)
+    np.testing.assert_allclose(loader._weights, [1.0, 1 / 3, 1 / 3, 1 / 3])
+
+
 def test_loader_early_abandonment_stops_producer():
     """Breaking out of loader iteration (preemption, exceptions) must stop
     the prefetch thread instead of leaving it blocked on a full queue, and
