@@ -25,12 +25,19 @@ from datetime import datetime
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mirror_tpu.parallel import create_mesh, shard_batch
 from mirror_tpu.utils import AverageMeter, setup_default_logging
 
 _logger = logging.getLogger("train")
+
+
+@jax.jit
+def _metric_add(acc, metrics):
+    """Device-side accumulate of the per-step metric dict (no host pull)."""
+    return jax.tree.map(jnp.add, acc, metrics)
 
 
 def update_summary(
@@ -147,6 +154,13 @@ class TrainHarness:
         num_batches = len(self.train_loader)
         end = time.time()
         first_metrics = None
+        # Exact epoch means without host syncs: every step's metric dict is
+        # summed into a device-side accumulator by a tiny jitted add (async
+        # dispatch, no pull), read back ONCE at epoch end. The reference
+        # averages every batch (train_mirror.py:1296-1333); the interval
+        # meters below only feed the console line. Train batches are
+        # fixed-size (drop_last), so the unweighted mean is exact.
+        metric_acc, acc_count = None, 0
 
         for batch_idx, host_batch in enumerate(self.train_loader):
             if getattr(self, "_stop_requested", False):
@@ -160,6 +174,11 @@ class TrainHarness:
             step_rng = jax.random.fold_in(self.rng, self.global_step)
             self.state, metrics = self.train_step(self.state, batch, step_rng)
             self.global_step += 1
+            metric_acc = (
+                metrics if metric_acc is None
+                else _metric_add(metric_acc, metrics)
+            )
+            acc_count += 1
             if getattr(args, "synchronize_step", False):
                 # accurate per-step timing (ref train_mirror.py:1286-1287,
                 # torch.cuda.synchronize): pull one scalar to host — on this
@@ -203,7 +222,15 @@ class TrainHarness:
                 self.saver.save_recovery(self.state, epoch, batch_idx)
             end = time.time()
 
-        return {k: m.avg for k, m in meters.items()}
+        if metric_acc is None:
+            return {}
+        sums = jax.device_get(metric_acc)  # single host pull per epoch
+        epoch_metrics = {k: float(v) / acc_count for k, v in sums.items()}
+        if self.lr_controller is not None:
+            # plateau mode: the step's (identity-schedule) lr is not the
+            # applied one — report the controller's, like the interval line
+            epoch_metrics["lr"] = self.lr_controller.current_lr
+        return epoch_metrics
 
     def _init_wandb(self):
         if not getattr(self.args, "log_wandb", False):

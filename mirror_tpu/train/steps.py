@@ -119,6 +119,17 @@ def _split_rngs(rng: jax.Array) -> Dict[str, jax.Array]:
     return {"dropout": r[0], "masking": r[1], "style": r[2]}
 
 
+def observability_metrics(params, grads) -> Dict[str, jax.Array]:
+    """Global gradient/parameter L2 norms, the wandb.watch(model) analogue
+    (ref train_mirror.py:941-949 logs grad/param histograms): two cheap
+    in-step reductions that surface divergence/vanishing without any host
+    sync. Logged per interval and averaged into summary.csv/wandb."""
+    return {
+        "grad_norm": optax.global_norm(grads),
+        "param_norm": optax.global_norm(params),
+    }
+
+
 # ---------------------------------------------------------------------------
 # MIRROR pretraining
 # ---------------------------------------------------------------------------
@@ -161,6 +172,7 @@ def make_mirror_train_step(
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params0)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {
+            **observability_metrics(params0, grads),
             "loss": loss,
             "alignment_loss": losses[1],
             "wsi_retention_loss": losses[2],
@@ -258,7 +270,7 @@ def make_clip_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, **observability_metrics(state.params, grads)}
 
     return train_step
 
@@ -316,7 +328,7 @@ def make_classifier_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, **observability_metrics(state.params, grads)}
 
     return train_step
 
@@ -362,7 +374,7 @@ def make_survival_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, **observability_metrics(state.params, grads)}
 
     return train_step
 

@@ -201,9 +201,11 @@ def test_clip_pretrain(cohort, out_root):
 
 
 def test_no_val_still_writes_checkpoints(cohort, out_root):
-    """--no-val has no eval metric; checkpoints (last + numbered) must still
-    be written — the old metric-gated save skipped the saver entirely and a
-    completed run left NO weights on disk."""
+    """--no-val has no eval metric; the rolling ``last`` checkpoint must
+    still be written (the original metric-gated save skipped the saver
+    entirely and a completed run left NO weights on disk). Unranked saves
+    write ONLY ``last``: per-epoch files never enter best-k ranking, so they
+    would accumulate unpruned forever (ADVICE r2)."""
     cfg = _write_cfg(
         os.path.join(out_root, "noval.yaml"),
         wsi_feature_dir=cohort["subtype_feature_dir"],
@@ -225,4 +227,4 @@ def test_no_val_still_writes_checkpoints(cohort, out_root):
     train_subtyping.main(["--config", cfg, "--fold-nb", "0", "--no-val"])
     run_dir = os.path.join(out_root, "noval_runs", "subtyping", "nv")
     assert os.path.exists(os.path.join(run_dir, "last.msgpack"))
-    assert glob.glob(os.path.join(run_dir, "checkpoint-0*"))
+    assert not glob.glob(os.path.join(run_dir, "checkpoint-*"))
