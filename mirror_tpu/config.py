@@ -82,6 +82,11 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
 
     g = parser.add_argument_group("Device")
     g.add_argument("--device", type=str, default="tpu")
+    g.add_argument("--distributed", action="store_true", default=False,
+                   help="multi-host SPMD: run jax.distributed.initialize() "
+                   "(auto-detected on TPU pods; elsewhere set "
+                   "MIRROR_COORDINATOR/MIRROR_NUM_PROCESSES/MIRROR_PROCESS_ID"
+                   " — the torchrun-rendezvous analogue)")
     g.add_argument("--amp", action="store_true", default=True)
     g.add_argument("--no-amp", action="store_false", dest="amp")
     g.add_argument("--amp-dtype", type=str, default="bfloat16")

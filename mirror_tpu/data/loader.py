@@ -12,7 +12,12 @@ SPMD input feeding:
 - fixed-shape batches for XLA: train drops the trailing partial batch (all
   samples still seen across epochs thanks to reshuffling); eval pads the
   tail batch and marks padding in a ``valid`` mask so metrics stay exact;
-- a background prefetch thread overlaps feature-file IO with device compute.
+- a background prefetch thread overlaps feature-file IO with device compute;
+- multi-host sharding: with ``process_count > 1`` every process computes the
+  SAME global epoch permutation from the shared seed, then loads only its
+  block of each global batch (``batch_size`` stays the GLOBAL batch). The
+  blocked layout makes the assembled global batch identical to the
+  single-process batch — see parallel/distributed.py.
 """
 
 import queue
@@ -42,10 +47,25 @@ class Loader:
         prefetch: int = 2,
         use_native: bool = True,
         native_threads: int = 8,
+        process_index: int = None,
+        process_count: int = None,
     ) -> None:
+        if process_index is None or process_count is None:
+            # default to the live JAX runtime (0/1 when not distributed) so
+            # every call site shards per-host automatically under
+            # jax.distributed (parallel/distributed.maybe_initialize)
+            from mirror_tpu.parallel.distributed import process_info
+
+            process_index, process_count = process_info(
+                process_index, process_count
+            )
         assert not (drop_last and pad_last)
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        assert 0 <= process_index < process_count
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch (all processes)
+        self.process_index = process_index
+        self.process_count = process_count
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_last = pad_last
@@ -102,28 +122,29 @@ class Loader:
             rng.shuffle(idx)
         return idx
 
+    def _item(self, index: int, seed: int) -> Dict[str, np.ndarray]:
+        # per-item randomness (token resampling) is a pure function of the
+        # item's seed — drawn once per epoch at its GLOBAL batch position —
+        # so multi-process loaders see exactly the single-process draws
+        return self.dataset.__getitem__(
+            index, rng=np.random.default_rng(seed)
+        )
+
     def _make_batch(
-        self, indices: np.ndarray, rng: np.random.Generator
+        self, indices: np.ndarray, seeds: np.ndarray, valid: np.ndarray
     ) -> Dict[str, np.ndarray]:
         if self._native:
-            batch = self._make_batch_native(indices, rng)
+            batch = self._make_batch_native(indices, seeds)
         else:
-            items = [self.dataset.__getitem__(int(i), rng=rng) for i in indices]
+            items = [
+                self._item(int(i), int(s)) for i, s in zip(indices, seeds)
+            ]
             batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-        n_items = len(indices)
-        valid = np.ones(n_items, dtype=np.float32)
-        if self.pad_last and n_items < self.batch_size:
-            pad = self.batch_size - n_items
-            batch = {
-                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                for k, v in batch.items()
-            }
-            valid = np.concatenate([valid, np.zeros(pad, dtype=np.float32)])
         batch["valid"] = valid
         return batch
 
     def _make_batch_native(
-        self, indices: np.ndarray, rng: np.random.Generator
+        self, indices: np.ndarray, seeds: np.ndarray
     ) -> Dict[str, np.ndarray]:
         from . import native_loader
 
@@ -132,12 +153,14 @@ class Loader:
             p = self.dataset.wsi_npy_path(int(i))
             if p is None:  # mixed-format cohort: bail to the numpy path
                 self._native = False
-                items = [self.dataset.__getitem__(int(j), rng=rng) for j in indices]
+                items = [
+                    self._item(int(j), int(s)) for j, s in zip(indices, seeds)
+                ]
                 return {k: np.stack([it[k] for it in items]) for k in items[0]}
             paths.append(p)
-        seeds = rng.integers(0, 2**63, size=len(paths), dtype=np.int64)
         wsi = native_loader.gather_batch(
-            paths, self.dataset.num_wsi_feature_tokens, seeds.tolist(),
+            paths, self.dataset.num_wsi_feature_tokens,
+            [int(s) for s in seeds],
             num_threads=self.native_threads,
         )
         metas = [self.dataset.get_meta(int(i)) for i in indices]
@@ -151,11 +174,38 @@ class Loader:
         n = len(indices)
         bs = self.batch_size
         stops = n - (n % bs) if self.drop_last else n
-        chunks = [indices[i : i + bs] for i in range(0, stops, bs)]
+        # one resampling seed per GLOBAL epoch position — identical on every
+        # process, independent of how many processes consume the epoch
+        item_seeds = rng.integers(0, 2**63, size=n, dtype=np.int64)
+        p, pc = self.process_index, self.process_count
+        chunks = []
+        for i in range(0, stops, bs):
+            idx = indices[i : i + bs]
+            seeds = item_seeds[i : i + bs]
+            n_valid = len(idx)
+            if n_valid < bs:
+                if self.pad_last:
+                    pad = bs - n_valid
+                    idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+                    seeds = np.concatenate([seeds, np.repeat(seeds[-1:], pad)])
+                elif pc > 1 and n_valid % pc:
+                    raise ValueError(
+                        "multi-process loader tail batch needs drop_last or "
+                        f"pad_last ({n_valid} rows over {pc} processes)"
+                    )
+            valid = np.concatenate(
+                [np.ones(n_valid, np.float32),
+                 np.zeros(len(idx) - n_valid, np.float32)]
+            )
+            # blocked per-process slice (parallel/distributed.local_block):
+            # concatenating blocks in process order == the global batch
+            lbs = len(idx) // pc
+            sl = slice(p * lbs, (p + 1) * lbs)
+            chunks.append((idx[sl], seeds[sl], valid[sl]))
 
         if self.prefetch <= 0:
             for c in chunks:
-                yield self._make_batch(c, rng)
+                yield self._make_batch(*c)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -166,7 +216,7 @@ class Loader:
         def producer():
             try:
                 for c in chunks:
-                    batch = self._make_batch(c, rng)
+                    batch = self._make_batch(*c)
                     while not stop.is_set():
                         try:
                             q.put(batch, timeout=0.1)

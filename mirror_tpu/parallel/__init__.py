@@ -1,3 +1,15 @@
 from .mesh import create_mesh, shard_batch, replicate
+from .distributed import (
+    allgather_rows,
+    assemble_global_batch,
+    host_local_rows,
+    local_block,
+    maybe_initialize,
+    process_info,
+)
 
-__all__ = ["create_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "create_mesh", "shard_batch", "replicate",
+    "allgather_rows", "assemble_global_batch", "host_local_rows",
+    "local_block", "maybe_initialize", "process_info",
+]

@@ -34,7 +34,16 @@ def create_mesh(
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch on the mesh, sharded along the leading axis."""
+    """Place a host batch on the mesh, sharded along the leading axis.
+
+    Multi-process: the host batch is this process's BLOCK of the global
+    batch (the Loader's blocked sharding); the global array is assembled
+    via make_array_from_process_local_data (parallel/distributed.py)."""
+    if jax.process_count() > 1:
+        from .distributed import assemble_global_batch
+
+        return assemble_global_batch(mesh, batch)
+
     def put(x):
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -42,6 +51,10 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    if jax.process_count() > 1:
+        from .distributed import replicate_from_host
+
+        return replicate_from_host(mesh, tree)
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 

@@ -67,6 +67,36 @@ def default_slot_env(slot: str) -> dict:
     }
 
 
+def run_distributed(
+    cmd: List[str],
+    num_processes: int,
+    coordinator: str = "localhost:12421",
+    env_extra: Optional[dict] = None,
+) -> List[int]:
+    """torchrun analogue (ref scripts/run_train_mirror.sh:62-72): spawn
+    ``num_processes`` replicas of ``cmd`` with the MIRROR_* rendezvous envs
+    set; ``parallel/distributed.maybe_initialize`` picks them up and joins
+    the processes into one SPMD program. Real TPU pods start one process per
+    host through the pod runtime (where ``--distributed`` alone suffices);
+    this local runner serves CPU simulation and multi-process development.
+    Returns the exit codes."""
+    import os
+
+    procs = []
+    for i in range(num_processes):
+        env = dict(os.environ)
+        env.update(env_extra or {})
+        env.update(
+            MIRROR_COORDINATOR=coordinator,
+            MIRROR_NUM_PROCESSES=str(num_processes),
+            MIRROR_PROCESS_ID=str(i),
+        )
+        _logger.info("distributed process %d/%d: %s", i, num_processes,
+                     " ".join(map(str, cmd)))
+        procs.append(subprocess.Popen([str(c) for c in cmd], env=env))
+    return [p.wait() for p in procs]
+
+
 def run_jobs(
     commands: List[List[str]],
     slots: Optional[Sequence[str]] = None,

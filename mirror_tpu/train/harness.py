@@ -69,8 +69,16 @@ def gather_eval_outputs(
     eval step over the mesh, and keep only the valid (non-padded) rows.
 
     Returns (logits, labels, {key: array for key in extra_keys}).
+
+    Multi-host: each process feeds its block of the global batch; logits are
+    pulled back as host-local shards and every metric input is allgathered
+    in process order (== global row order under the blocked layout), so all
+    processes compute identical GLOBAL metrics — no per-rank averaging
+    distortion (the reference per-rank-averages its c-index,
+    train_survival.py:1466-1469; SURVEY section 3.3).
     """
     from mirror_tpu.data import Loader
+    from mirror_tpu.parallel.distributed import allgather_rows, host_local_rows
 
     batch_size = ((batch_size + n_devices - 1) // n_devices) * n_devices
     loader = Loader(
@@ -80,14 +88,14 @@ def gather_eval_outputs(
     logits_all, labels_all = [], []
     extras = {k: [] for k in extra_keys}
     for host_batch in loader:
-        valid = host_batch.pop("valid")
+        valid = allgather_rows(host_batch.pop("valid"))
         batch = shard_batch(mesh, host_batch)
-        logits = np.asarray(eval_step(params, batch))
+        logits = allgather_rows(host_local_rows(mesh, eval_step(params, batch)))
         keep = valid > 0
         logits_all.append(logits[keep])
-        labels_all.append(host_batch["label"][keep])
+        labels_all.append(allgather_rows(host_batch["label"])[keep])
         for k in extra_keys:
-            extras[k].append(host_batch[k][keep])
+            extras[k].append(allgather_rows(host_batch[k])[keep])
     return (
         np.concatenate(logits_all),
         np.concatenate(labels_all),
@@ -408,15 +416,23 @@ def common_setup(args, task: str):
     if forced:
         jax.config.update("jax_platforms", forced)
     setup_default_logging()
+    from mirror_tpu.parallel.distributed import maybe_initialize
     from mirror_tpu.utils import random_seed
 
+    # multi-host rendezvous (torchrun analogue) BEFORE any backend use:
+    # after this jax.devices() spans every host
+    maybe_initialize(args)
     rng = random_seed(args.seed)
     mesh = create_mesh()
     _logger.info(
-        "MIRROR-TPU %s: %d device(s), mesh %s", task, len(jax.devices()),
+        "MIRROR-TPU %s: process %d/%d, %d device(s), mesh %s", task,
+        jax.process_index(), jax.process_count(), len(jax.devices()),
         dict(zip(mesh.axis_names, mesh.devices.shape)),
     )
-    out_dir = setup_output_dir(args, task)
+    # only process 0 owns the run directory (checkpoints, summary.csv,
+    # wandb): the reference gates the same way on rank 0
+    # (train_mirror.py:917-950); metrics are identical on every process
+    out_dir = setup_output_dir(args, task) if jax.process_index() == 0 else None
     if out_dir:
         import yaml
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from mirror_tpu.config import parse_args, resolve_lr, resolve_use_pallas
 from mirror_tpu.data import Loader, PretrainDataset
-from mirror_tpu.parallel import replicate, shard_batch
+from mirror_tpu.parallel import allgather_rows, replicate, shard_batch
 from mirror_tpu.registry import create_model
 from mirror_tpu.train import (
     CheckpointSaver,
@@ -130,7 +130,11 @@ def main(argv=None):
             )
             meters = {}
             for i, host_batch in enumerate(loader):
-                n_valid = int(host_batch["valid"].sum())
+                # GLOBAL valid count: multi-host batches are per-process
+                # blocks, and a block can be entirely tail-padding (local
+                # count 0) while the psum'd metric values are global and
+                # identical on every process — the weights must match
+                n_valid = int(allgather_rows(host_batch["valid"]).sum())
                 batch = shard_batch(mesh, host_batch)
                 step_rng = jax.random.fold_in(root_rng, 20_000_000 + epoch * 10_000 + i)
                 metrics = eval_step(state.params, batch, step_rng)
