@@ -68,6 +68,18 @@ class MIRRORClassifier(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         wsi_emb = self.wsi_encoder(wsi_emb, deterministic)
+        return self.head_from_wsi(wsi_emb, rna_emb, deterministic)
+
+    def head_from_wsi(
+        self,
+        wsi_emb: jax.Array,
+        rna_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Classify from a PRECOMPUTED wsi cls embedding [B, embed_dim] —
+        the whole-slide serving path (tools/predict.py --whole-slide feeds
+        the context-parallel encoder's cls row here); fusion/head semantics
+        identical to __call__."""
         if rna_emb is None and self.fusion == "concat":
             # fail loudly like the reference's Linear(2*embed_dim, C) would:
             # running concat-fusion wsi-only would silently build an

@@ -70,7 +70,15 @@ def predict(
     batch_size: int = 16,
     use_ema: bool = False,
     seed: int = 42,
+    whole_slide: bool = False,
 ) -> list:
+    """``whole_slide=True`` scores EVERY patch of each slide instead of the
+    training-time ``num_wsi_feature_tokens`` subsample: the WSI encoder runs
+    via the context-parallel whole-slide path (token axis sharded over the
+    mesh, parallel/context_parallel.transmil_encode_cp) and its cls row
+    feeds the same fusion/head (``MIRRORClassifier.head_from_wsi``). This is
+    the capability the reference structurally lacks — its datasets cap every
+    slide at 2048 sampled tokens (ref datasets/dataset_pretrain.py:157-161)."""
     import jax
     import jax.numpy as jnp
     import pandas as pd
@@ -116,11 +124,25 @@ def predict(
         raise SystemExit(f"no usable feature files under {wsi_feature_dir}")
 
     rng = np.random.default_rng(seed)
-    fwd = jax.jit(
-        lambda p, wsi, rna: model.apply(
-            {"params": p}, wsi, rna, True
-        ).astype(jnp.float32)
-    )
+    if whole_slide:
+        from mirror_tpu.models.classifier import MIRRORClassifier
+        from mirror_tpu.parallel import create_mesh
+        from mirror_tpu.parallel.context_parallel import transmil_encode_cp
+
+        mesh = create_mesh()
+        ws_dtype = getattr(model, "dtype", None) or jnp.float32
+        fwd = jax.jit(
+            lambda p, wsi_cls, rna: model.apply(
+                {"params": p}, wsi_cls, rna, True,
+                method=MIRRORClassifier.head_from_wsi,
+            ).astype(jnp.float32)
+        )
+    else:
+        fwd = jax.jit(
+            lambda p, wsi, rna: model.apply(
+                {"params": p}, wsi, rna, True
+            ).astype(jnp.float32)
+        )
 
     rows = []
     for i in range(0, len(files), batch_size):
@@ -129,11 +151,22 @@ def predict(
         rna = []
         for f in chunk:
             feats = np.asarray(load_feature_file(f), np.float32)
-            idx = rng.choice(
-                feats.shape[0], num_tokens,
-                replace=feats.shape[0] < num_tokens,
-            )
-            wsi.append(feats[idx])
+            if whole_slide:
+                # encode every patch: one long-sequence CP forward per
+                # slide, keep the cls row. Distinct patch counts compile
+                # distinct programs (static shapes) — bucket-free by design
+                # so the math matches the dense encoder exactly.
+                seq = transmil_encode_cp(
+                    params["wsi_encoder"], jnp.asarray(feats), mesh,
+                    dtype=ws_dtype,
+                )
+                wsi.append(np.asarray(seq[0], np.float32))
+            else:
+                idx = rng.choice(
+                    feats.shape[0], num_tokens,
+                    replace=feats.shape[0] < num_tokens,
+                )
+                wsi.append(feats[idx])
             if rna_df is not None and not wsi_only:
                 sid = os.path.basename(f).split(".")[0][:15]
                 rna.append(rna_df.loc[sid].to_numpy(np.float32))
@@ -175,9 +208,13 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--use-ema", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--whole-slide", action="store_true", default=False,
+                   help="score EVERY patch (context-parallel whole-slide "
+                   "encoder) instead of the training-time token subsample")
     a = p.parse_args(argv)
     predict(a.checkpoint, a.task, a.wsi_feature_dir, a.output,
-            a.rna_feature_csv, a.batch_size, a.use_ema, a.seed)
+            a.rna_feature_csv, a.batch_size, a.use_ema, a.seed,
+            whole_slide=a.whole_slide)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,73 @@ def test_predict_survival(cohort, tmp_path):
     assert df["risk"].notna().all()
 
 
+def test_predict_whole_slide_matches_dense_full_sequence(cohort, tmp_path):
+    """--whole-slide scores EVERY patch via the context-parallel encoder;
+    on a slide it must equal the dense model forward over the same full
+    token set (the CP encoder is exact, tests/test_context_parallel.py), so
+    the last-mile glue (cls row -> head_from_wsi fusion) is what's under
+    test here."""
+    import jax
+    import numpy as np
+
+    from mirror_tpu.data.formats import load_feature_file
+    from mirror_tpu.registry import create_model
+    from mirror_tpu.tools.predict import predict as run_predict
+    from mirror_tpu.train.checkpoint import load_checkpoint_file
+
+    cfg = dict(
+        wsi_feature_dir=cohort["subtype_feature_dir"],
+        rna_feature_csv=cohort["rna_csv"],
+        split_dir=cohort["splits_dir"],
+        classes=cohort["classes"],
+        num_classes=2,
+        num_wsi_feature_tokens=16,
+        batch_size=8,
+        epochs=1,
+        amp=False,
+        model="mirror_classifier",
+        model_kwargs={**TINY, "fusion": "concat"},
+        output=str(tmp_path / "out"),
+        experiment="ws",
+    )
+    path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(path, "w"))
+    train_subtyping.main(["--config", path, "--fold-nb", "0"])
+    ckpt = str(tmp_path / "out" / "subtyping" / "ws" / "model_best.msgpack")
+
+    out_csv = str(tmp_path / "ws_preds.csv")
+    rows = run_predict(
+        ckpt, "subtyping", cohort["feature_dir"], out_csv,
+        rna_feature_csv=cohort["rna_csv"], batch_size=4, whole_slide=True,
+    )
+    df = pd.read_csv(out_csv).set_index("slide_id")
+    assert len(df) == len(rows) > 0
+
+    # dense reference: full token set through the normal model forward
+    payload = load_checkpoint_file(ckpt)
+    model = create_model("mirror_classifier", num_classes=2,
+                         **{**TINY, "fusion": "concat"})
+    rna_df = pd.read_csv(cohort["rna_csv"], index_col=0)
+    rna_df.index = [str(i)[:15] for i in rna_df.index]
+    import glob as _glob
+
+    checked = 0
+    for f in sorted(_glob.glob(os.path.join(cohort["feature_dir"], "*.npy")))[:3]:
+        sid = os.path.basename(f).split(".")[0]
+        feats = np.asarray(load_feature_file(f), np.float32)
+        rna = rna_df.loc[sid[:15]].to_numpy(np.float32)
+        logits = model.apply(
+            {"params": payload["state_dict"]}, feats[None], rna[None], True
+        )
+        p = np.exp(logits[0] - logits[0].max())
+        p = np.asarray(p / p.sum())
+        np.testing.assert_allclose(
+            df.loc[sid, ["prob_0", "prob_1"]].to_numpy(), p, atol=1e-4,
+        )
+        checked += 1
+    assert checked == 3
+
+
 def test_predict_wsi_only(cohort, tmp_path):
     cfg = dict(
         wsi_feature_dir=cohort["subtype_feature_dir"],
