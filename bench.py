@@ -53,10 +53,14 @@ def main():
         wsi_embed_dim=768, rna_embed_dim=10234, embed_dim=768,
         wsi_num_tokens=tokens, rna_mlp_ratio=4.0, rna_norm_eps=1e-5,
         use_pallas=True,  # flagship config: fused Pallas Nystrom kernels
-        # default "exact" = reference-faithful autodiff through the pinv
-        # iterations; the env knob exists only for measuring the
-        # experimental implicit-gradient mode (never set by the driver)
-        pinv_grad=os.environ.get("MIRROR_BENCH_PINV_GRAD", "exact"),
+        # "implicit" = implicit-function gradient of the converged pinv,
+        # promoted to the default after the round-3 adoption study
+        # (pinv_study_r3.json, PARITY.md [F]): 500 steps at production dims,
+        # per-term loss curves match "exact" to ~1e-3, end-to-end gradient
+        # cosine >= 0.9988 throughout, identical downstream probe. "exact"
+        # (autodiff through the 6 iterations, reference-faithful) stays one
+        # env knob away.
+        pinv_grad=os.environ.get("MIRROR_BENCH_PINV_GRAD", "implicit"),
         dtype="bfloat16",
     )
 

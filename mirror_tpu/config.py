@@ -72,13 +72,17 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
                         "Moore-Penrose pinv, landmark softmax, res-conv); "
                         "default: on for TPU backends")
     g.add_argument("--no-use-pallas", action="store_false", dest="use_pallas")
-    g.add_argument("--pinv-grad", type=str, default="exact",
+    g.add_argument("--pinv-grad", type=str, default="implicit",
                    choices=["exact", "implicit"],
-                   help="Nystrom pinv backward: 'exact' differentiates "
-                        "through the 6 Moore-Penrose iterations (reference-"
-                        "faithful); 'implicit' uses the converged implicit-"
-                        "function gradient -Z^T g Z^T (faster, documented "
-                        "deviation)")
+                   help="Nystrom pinv backward. Default 'implicit' (the "
+                        "converged implicit-function gradient -Z^T g Z^T): "
+                        "+30%% step throughput, validated equivalent by the "
+                        "round-3 adoption study (500 steps at production "
+                        "dims: per-term losses match to ~1e-3, gradient "
+                        "cosine >= 0.9988; PARITY.md [F]). 'exact' "
+                        "differentiates through the 6 Moore-Penrose "
+                        "iterations (reference-faithful autodiff) for "
+                        "strict-parity runs")
 
     g = parser.add_argument_group("Device")
     g.add_argument("--device", type=str, default="tpu")

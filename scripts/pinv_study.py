@@ -167,17 +167,14 @@ def probe_accuracy(model_kwargs, params, wsi, labels, seed=0):
         seq = enc.forward_encoder(jnp.asarray(w), True)
         return seq[:, 0, :].astype(jnp.float32)
 
+    wsi_dev = jnp.asarray(wsi)  # device-resident: avoid per-chunk host ships
     embs = []
     bs = 16
-    for i in range(0, len(wsi), bs):
-        chunk = wsi[i : i + bs]
-        if len(chunk) < bs:  # keep one compiled shape
-            pad = bs - len(chunk)
-            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
-            embs.append(np.asarray(embed(params, chunk))[: bs - pad])
-        else:
-            embs.append(np.asarray(embed(params, chunk)))
+    n_full = (len(wsi) // bs) * bs
+    for i in range(0, n_full, bs):
+        embs.append(np.asarray(embed(params, wsi_dev[i : i + bs])))
     x = np.concatenate(embs)
+    labels = np.asarray(labels)[:n_full]
     clf = LogisticRegression(max_iter=2000, random_state=seed)
     scores = cross_val_score(clf, x, labels, cv=4)
     return float(np.mean(scores))
@@ -230,11 +227,32 @@ def main():
     )
     print(f"data: wsi {wsi.shape}, rna {rna.shape}", flush=True)
 
+    # the cohort lives ON DEVICE (a 2048x768 fp32 batch is ~200 MB — far too
+    # much to ship per step over the axon tunnel); batches are device-side
+    # gathers, sharded over the mesh
+    from mirror_tpu.parallel.mesh import batch_sharding
+
+    wsi_dev = jnp.asarray(wsi)
+    rna_dev = jnp.asarray(rna)
+
+    @jax.jit
+    def gather(wsi_d, rna_d, idx):
+        # dataset passed as ARGUMENTS: closing over it would bake 400 MB of
+        # constants into the program (the remote compile service rejects it)
+        return {
+            "wsi": jax.lax.with_sharding_constraint(
+                jnp.take(wsi_d, idx, axis=0), batch_sharding(mesh)
+            ),
+            "rna": jax.lax.with_sharding_constraint(
+                jnp.take(rna_d, idx, axis=0), batch_sharding(mesh)
+            ),
+        }
+
     def batch_at(step):
         idx = np.random.default_rng(1000 + step).choice(
             args.n_slides, args.batch_size, replace=False
         )
-        return shard_batch(mesh, {"wsi": wsi[idx], "rna": rna[idx]})
+        return gather(wsi_dev, rna_dev, jnp.asarray(idx))
 
     results = {"args": vars(args), "modes": {}}
     final_params = {}
