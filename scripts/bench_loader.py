@@ -58,12 +58,20 @@ def main():
         paths.append(p)
     # one warm pass so the page cache holds the cohort (steady-state regime:
     # real hosts keep hot slides cached; cold-IO is a separate axis)
-    native_loader.gather_batch(paths[: args.batch], args.tokens,
-                               list(range(args.batch)), num_threads=1)
+    warm = paths[: args.batch] if len(paths) >= args.batch else paths
+    native_loader.gather_batch(warm, args.tokens,
+                               list(range(len(warm))), num_threads=1)
 
     out = np.empty((args.batch, args.tokens, args.dim), np.float32)
     results = {}
     bytes_per_batch = args.batch * args.tokens * args.dim * 4
+    # discard one full pass: the first measured config otherwise absorbs
+    # cold page-cache / allocator warmup (measured 20x distortion)
+    for it in range(args.iters):
+        sel = [paths[(it * args.batch + j) % args.slides]
+               for j in range(args.batch)]
+        native_loader.gather_batch(sel, args.tokens, list(range(args.batch)),
+                                   num_threads=args.threads[0], out=out)
     for nt in args.threads:
         t0 = time.time()
         for it in range(args.iters):
