@@ -96,7 +96,6 @@ def test_predict_whole_slide_matches_dense_full_sequence(cohort, tmp_path):
     token set (the CP encoder is exact, tests/test_context_parallel.py), so
     the last-mile glue (cls row -> head_from_wsi fusion) is what's under
     test here."""
-    import jax
     import numpy as np
 
     from mirror_tpu.data.formats import load_feature_file

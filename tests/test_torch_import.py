@@ -14,7 +14,6 @@ must load into mirror_tpu.  Coverage:
 """
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp
