@@ -26,12 +26,63 @@ analysis when available.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 ROUND1_BASELINE_SAMPLES_PER_SEC = 77.6  # B=32 median, v5e-1, 2026-08-16 (round 1)
+
+
+def selftest():
+    """On-chip smoke test of all 4 Pallas kernels at production block shapes.
+
+    The CPU test suite runs the kernels interpret-mode only (tests/conftest.py
+    forces the CPU backend), so TPU compilation + VMEM behavior — e.g. the
+    round-2 [8,2304,384] f32 VMEM OOM — is otherwise validated only by full
+    bench runs. This compiles ONE NystromAttention fwd+bwd per gradient mode
+    at the flagship TransMIL shapes (dim=512, heads=8, dh=64, m=256 landmarks,
+    2048 wsi tokens -> 46x46+1 = 2117 seq -> front-padded 2304), which drives
+    landmark_pallas, pinv_pallas (exact AND implicit VJPs), nystrom_pallas
+    (both matmul kernels), and conv1d_pallas, then asserts finiteness.
+
+    b=8 keeps it quick: the Pallas grids iterate over (b*h) programs, so the
+    per-program VMEM block shapes — what actually OOMs — are b-independent.
+
+    Prints one JSON line {"metric": "pallas_tpu_selftest", ...} and exits
+    nonzero on failure. Run: python bench.py --selftest
+    """
+    from mirror_tpu.models.nystrom import NystromAttention
+
+    b, n, dim = 8, 2117, 512
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, n, dim), jnp.float32)
+    results = {}
+    for grad_mode in ("exact", "implicit"):
+        model = NystromAttention(
+            dim=dim, dim_head=dim // 8, heads=8, num_landmarks=dim // 2,
+            pinv_iterations=6, residual=True, use_pallas=True,
+            pinv_grad=grad_mode, dtype=jnp.bfloat16,
+        )
+        params = model.init(jax.random.PRNGKey(1), x[:1])
+
+        def loss_fn(p, x):
+            return jnp.sum(model.apply(p, x).astype(jnp.float32))
+
+        val, grads = jax.jit(jax.value_and_grad(loss_fn))(params, x)
+        leaves = [val] + jax.tree.leaves(grads)
+        finite = all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        results[grad_mode] = finite
+    ok = all(results.values())
+    print(json.dumps({
+        "metric": "pallas_tpu_selftest",
+        "value": 1 if ok else 0,
+        "unit": "ok",
+        "backend": jax.default_backend(),
+        "modes": results,
+    }))
+    return 0 if ok else 1
 
 
 def main():
@@ -157,4 +208,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--selftest" in sys.argv:
+        sys.exit(selftest())
     main()

@@ -85,24 +85,20 @@ class ViTSelfAttention(nn.Module):
             return nn.Dense(d, name=name, dtype=self.dtype, param_dtype=jnp.float32)
 
         if self.use_pallas:
-            # the fused Nystrom softmax-matmul kernel IS standard attention
-            # when W == V: softmax(q k^T) v computed per (batch, head) in
-            # VMEM, never materializing [n, n] in HBM.
-            # Measured on v5e (B=512): 2087 patches/s fused vs 2477 dense —
-            # at 197 tokens the [n, n] matrix is tiny and XLA's batched
-            # attention wins; the per-(batch, head) grid overhead dominates.
-            # Default stays False; the flag exists for long-sequence ViTs
-            # (larger inputs / smaller patches) where fusion pays off.
-            from mirror_tpu.ops.nystrom_pallas import fused_softmax_attn
+            # natural-layout fused attention (ops/vit_attn_pallas): q/k/v
+            # stay [b, n, d_model] straight out of the projection GEMMs,
+            # heads are sliced in VMEM, the [n, n] matrices never touch
+            # HBM and XLA inserts no transposes. Supersedes two losing
+            # fused attempts (per-(b,h)-program: 2087 vs 2477 patches/s;
+            # head-major blocks: 7.0 vs 5.5 ms — history in the kernel
+            # docstring). Measured 3.71 vs 5.54 ms per call on v5e.
+            # Inference-only (the extractor backbone is frozen).
+            from mirror_tpu.ops.vit_attn_pallas import mha_natural
 
-            q = proj("query")(x).reshape(b, n, self.num_heads, head_dim)
-            k = proj("key")(x).reshape(b, n, self.num_heads, head_dim)
-            v = proj("value")(x).reshape(b, n, self.num_heads, head_dim)
-            q = q.transpose(0, 2, 1, 3) * scale  # [b, h, n, dh]
-            k = k.transpose(0, 2, 1, 3)
-            v = v.transpose(0, 2, 1, 3)
-            out = fused_softmax_attn(q, k, v)  # [b, h, n, dh]
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, d).astype(x.dtype)
+            q = proj("query")(x)
+            k = proj("key")(x)
+            v = proj("value")(x)
+            out = mha_natural(q, k, v, self.num_heads).astype(x.dtype)
             return proj("output")(out)
 
         q = proj("query")(x).reshape(b, n, self.num_heads, head_dim)
