@@ -67,6 +67,27 @@ class QuantDense(nn.Module):
         return out.astype(self.dtype or x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Creates the exact param tree of ``nn.Dense`` (kernel [in, out] +
+    bias [out], same names/initializers/param_dtype) but returns the raw
+    weights instead of applying them — the fused ViT sublayer kernels
+    (ops/vit_attn_pallas) consume them directly, so checkpoints and the HF
+    weight converter are byte-compatible between the dense and fused paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class ViTSelfAttention(nn.Module):
     num_heads: int = 12
     use_pallas: bool = False
@@ -84,15 +105,9 @@ class ViTSelfAttention(nn.Module):
                 return QuantDense(d, name=name, dtype=self.dtype)
             return nn.Dense(d, name=name, dtype=self.dtype, param_dtype=jnp.float32)
 
-        if self.use_pallas:
-            # natural-layout fused attention (ops/vit_attn_pallas): q/k/v
-            # stay [b, n, d_model] straight out of the projection GEMMs,
-            # heads are sliced in VMEM, the [n, n] matrices never touch
-            # HBM and XLA inserts no transposes. Supersedes two losing
-            # fused attempts (per-(b,h)-program: 2087 vs 2477 patches/s;
-            # head-major blocks: 7.0 vs 5.5 ms — history in the kernel
-            # docstring). Measured 3.71 vs 5.54 ms per call on v5e.
-            # Inference-only (the extractor backbone is frozen).
+        if self.use_pallas and self.quant == "int8":
+            # int8 projections + fused natural-layout attention: q/k/v stay
+            # [b, n, d_model], heads sliced in VMEM (ops/vit_attn_pallas).
             from mirror_tpu.ops.vit_attn_pallas import mha_natural
 
             q = proj("query")(x)
@@ -100,6 +115,30 @@ class ViTSelfAttention(nn.Module):
             v = proj("value")(x)
             out = mha_natural(q, k, v, self.num_heads).astype(x.dtype)
             return proj("output")(out)
+
+        if self.use_pallas:
+            # whole-sublayer fusion (ops/vit_attn_pallas.attn_sublayer):
+            # the q/k/v/out projection GEMMs ride in the same program as the
+            # natural-layout attention, weights VMEM-resident across the
+            # grid, so the q/k/v/attn-out streams never round-trip HBM and
+            # XLA inserts no transposes. Supersedes two losing fused
+            # attempts (per-(b,h)-program: 2087 vs 2477 patches/s;
+            # head-major blocks: 7.0 vs 5.5 ms) and the attention-only
+            # kernel (6.31 -> 5.59 ms/block). Inference-only (the extractor
+            # backbone is frozen, like the reference's eval-mode wrapper).
+            from mirror_tpu.ops.vit_attn_pallas import attn_sublayer
+
+            cdt = self.dtype or jnp.float32
+            wq, bq = _DenseParams(d, name="query")(d)
+            wk, bk = _DenseParams(d, name="key")(d)
+            wv, bv = _DenseParams(d, name="value")(d)
+            wo, bo = _DenseParams(d, name="output")(d)
+            bqkv = jnp.concatenate([bq, bk, bv])[None, :].astype(jnp.float32)
+            return attn_sublayer(
+                x.astype(cdt), wq.astype(cdt), wk.astype(cdt),
+                wv.astype(cdt), bqkv, wo.astype(cdt),
+                bo[None, :].astype(jnp.float32), self.num_heads,
+            ).astype(x.dtype)
 
         q = proj("query")(x).reshape(b, n, self.num_heads, head_dim)
         k = proj("key")(x).reshape(b, n, self.num_heads, head_dim)
@@ -137,6 +176,22 @@ class ViTBlock(nn.Module):
             dtype=self.dtype, name="attention",
         )(ln("layernorm_before")(x))
         y = ln("layernorm_after")(x)
+        if self.use_pallas and self.quant != "int8":
+            # fused fc1 + exact-erf GELU + fc2 (ops/vit_attn_pallas
+            # .mlp_sublayer): the [b, n, 4d] hidden stream and its fp32
+            # GELU stay in VMEM (9.23 -> 7.55 ms/block measured at B=512).
+            from mirror_tpu.ops.vit_attn_pallas import mlp_sublayer
+
+            cdt = self.dtype or jnp.float32
+            w1, b1 = _DenseParams(int(d * self.mlp_ratio),
+                                  name="intermediate")(d)
+            w2, b2 = _DenseParams(d, name="output")(int(d * self.mlp_ratio))
+            y = mlp_sublayer(
+                y.astype(cdt), w1.astype(cdt),
+                b1[None, :].astype(jnp.float32), w2.astype(cdt),
+                b2[None, :].astype(jnp.float32),
+            ).astype(x.dtype)
+            return x + y
         y = dense(int(d * self.mlp_ratio), "intermediate")(y)
         y = nn.gelu(y, approximate=False)
         y = dense(d, "output")(y)
