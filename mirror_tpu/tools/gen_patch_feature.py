@@ -280,10 +280,18 @@ def main():
     p.add_argument("--num-threads", type=int, default=8)
     p.add_argument("--format", default="npy", choices=["npy", "pt"])
     p.add_argument("--no-skip-existing", action="store_false", dest="skip_existing")
-    p.add_argument("--use-pallas", action="store_true", default=False)
+    # default: fused sublayer kernels on TPU (3,579 vs 2,436 patches/s at
+    # B=256, BASELINE.md round-3), dense math elsewhere (interpret mode is
+    # slow off-TPU)
+    p.add_argument("--use-pallas", action="store_true", default=None)
+    p.add_argument("--no-use-pallas", action="store_false", dest="use_pallas")
     p.add_argument("--quant", default=None, choices=["int8"],
                    help="W8A8 inference GEMMs (see build_extractor note)")
     a = p.parse_args()
+    if a.use_pallas is None:
+        import jax
+
+        a.use_pallas = jax.default_backend() == "tpu"
     extract_features(
         a.patch_root, a.output_dir, a.model, a.checkpoint, a.batch_size,
         a.fold, a.k, a.num_threads, a.format, a.skip_existing, a.use_pallas,
