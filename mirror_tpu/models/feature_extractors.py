@@ -88,6 +88,21 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LnParams(nn.Module):
+    """Creates the exact param tree of ``nn.LayerNorm`` (scale + bias, fp32)
+    but returns the raw weights for the fused half-block kernels."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param(
+            "scale", nn.initializers.ones, (features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (features,), jnp.float32
+        )
+        return scale, bias
+
+
 class ViTSelfAttention(nn.Module):
     num_heads: int = 12
     use_pallas: bool = False
@@ -95,7 +110,11 @@ class ViTSelfAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, fused_ln=None) -> jax.Array:
+        """fused_ln: None for the standard post-LN input contract, or
+        (ln_scale, ln_bias, eps) — then ``x`` is the PRE-norm residual
+        stream and the whole pre-LN half-block (LN + qkv + attention + out
+        projection + residual add) runs as one Pallas program."""
         b, n, d = x.shape
         head_dim = d // self.num_heads
         scale = head_dim**-0.5
@@ -116,28 +135,31 @@ class ViTSelfAttention(nn.Module):
             out = mha_natural(q, k, v, self.num_heads).astype(x.dtype)
             return proj("output")(out)
 
-        if self.use_pallas:
-            # whole-sublayer fusion (ops/vit_attn_pallas.attn_sublayer):
-            # the q/k/v/out projection GEMMs ride in the same program as the
-            # natural-layout attention, weights VMEM-resident across the
-            # grid, so the q/k/v/attn-out streams never round-trip HBM and
-            # XLA inserts no transposes. Supersedes two losing fused
-            # attempts (per-(b,h)-program: 2087 vs 2477 patches/s;
-            # head-major blocks: 7.0 vs 5.5 ms) and the attention-only
-            # kernel (6.31 -> 5.59 ms/block). Inference-only (the extractor
-            # backbone is frozen, like the reference's eval-mode wrapper).
-            from mirror_tpu.ops.vit_attn_pallas import attn_sublayer
+        if self.use_pallas and fused_ln is not None:
+            # whole-half-block fusion (ops/vit_attn_pallas.attn_block): LN,
+            # the q/k/v/out projection GEMMs, natural-layout attention
+            # (heads sliced in VMEM), and the residual add in one program —
+            # the y/q/k/v/attn-out streams never round-trip HBM and XLA
+            # inserts no transposes. Supersedes the losing fused attempts
+            # (per-(b,h)-program: 2087 vs 2477 patches/s; head-major
+            # blocks: 7.0 vs 5.5 ms) and the partial fusions (attn only
+            # 6.31, +projections 5.59 -> 5.78 with LN+residual vs 6.28
+            # split). Inference-only (the extractor backbone is frozen,
+            # like the reference's eval-mode wrapper).
+            from mirror_tpu.ops.vit_attn_pallas import attn_block
 
+            ln_s, ln_b, eps = fused_ln
             cdt = self.dtype or jnp.float32
             wq, bq = _DenseParams(d, name="query")(d)
             wk, bk = _DenseParams(d, name="key")(d)
             wv, bv = _DenseParams(d, name="value")(d)
             wo, bo = _DenseParams(d, name="output")(d)
             bqkv = jnp.concatenate([bq, bk, bv])[None, :].astype(jnp.float32)
-            return attn_sublayer(
-                x.astype(cdt), wq.astype(cdt), wk.astype(cdt),
-                wv.astype(cdt), bqkv, wo.astype(cdt),
-                bo[None, :].astype(jnp.float32), self.num_heads,
+            return attn_block(
+                x.astype(cdt), ln_s[None, :].astype(jnp.float32),
+                ln_b[None, :].astype(jnp.float32), wq.astype(cdt),
+                wk.astype(cdt), wv.astype(cdt), bqkv, wo.astype(cdt),
+                bo[None, :].astype(jnp.float32), self.num_heads, eps,
             ).astype(x.dtype)
 
         q = proj("query")(x).reshape(b, n, self.num_heads, head_dim)
@@ -171,27 +193,36 @@ class ViTBlock(nn.Module):
             return nn.Dense(f, name=name, dtype=self.dtype, param_dtype=jnp.float32)
 
         d = x.shape[-1]
+        if self.use_pallas and self.quant != "int8":
+            # two fused half-block kernels per block (ops/vit_attn_pallas
+            # .attn_block / .mlp_block): LN + GEMMs + attention/GELU +
+            # residual each in one program; between kernels only the
+            # [b, n, d] residual stream touches HBM. The [b, n, 4d] hidden
+            # stream and its fp32 GELU stay in VMEM (MLP half 8.03 vs 9.23
+            # ms/block unfused at B=512).
+            from mirror_tpu.ops.vit_attn_pallas import mlp_block
+
+            ln1_s, ln1_b = _LnParams(name="layernorm_before")(d)
+            x = ViTSelfAttention(
+                self.num_heads, use_pallas=True, quant=self.quant,
+                dtype=self.dtype, name="attention",
+            )(x, fused_ln=(ln1_s, ln1_b, self.norm_eps))
+            ln2_s, ln2_b = _LnParams(name="layernorm_after")(d)
+            cdt = self.dtype or jnp.float32
+            w1, b1 = _DenseParams(int(d * self.mlp_ratio),
+                                  name="intermediate")(d)
+            w2, b2 = _DenseParams(d, name="output")(int(d * self.mlp_ratio))
+            return mlp_block(
+                x.astype(cdt), ln2_s[None, :].astype(jnp.float32),
+                ln2_b[None, :].astype(jnp.float32), w1.astype(cdt),
+                b1[None, :].astype(jnp.float32), w2.astype(cdt),
+                b2[None, :].astype(jnp.float32), self.norm_eps,
+            ).astype(x.dtype)
         x = x + ViTSelfAttention(
             self.num_heads, use_pallas=self.use_pallas, quant=self.quant,
             dtype=self.dtype, name="attention",
         )(ln("layernorm_before")(x))
         y = ln("layernorm_after")(x)
-        if self.use_pallas and self.quant != "int8":
-            # fused fc1 + exact-erf GELU + fc2 (ops/vit_attn_pallas
-            # .mlp_sublayer): the [b, n, 4d] hidden stream and its fp32
-            # GELU stay in VMEM (9.23 -> 7.55 ms/block measured at B=512).
-            from mirror_tpu.ops.vit_attn_pallas import mlp_sublayer
-
-            cdt = self.dtype or jnp.float32
-            w1, b1 = _DenseParams(int(d * self.mlp_ratio),
-                                  name="intermediate")(d)
-            w2, b2 = _DenseParams(d, name="output")(int(d * self.mlp_ratio))
-            y = mlp_sublayer(
-                y.astype(cdt), w1.astype(cdt),
-                b1[None, :].astype(jnp.float32), w2.astype(cdt),
-                b2[None, :].astype(jnp.float32),
-            ).astype(x.dtype)
-            return x + y
         y = dense(int(d * self.mlp_ratio), "intermediate")(y)
         y = nn.gelu(y, approximate=False)
         y = dense(d, "output")(y)

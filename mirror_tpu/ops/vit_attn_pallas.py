@@ -83,11 +83,13 @@ def mha_natural(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Arr
 
 
 # ---------------------------------------------------------------------------
-# Whole-sublayer fusions: the projection GEMMs ride along in the same
-# program, weights VMEM-resident across the grid (constant index_map), so
-# the q/k/v/attn-out/fc1 streams never round-trip HBM. Measured per block
-# (B=512, scripts/exp_vit_fused_sublayer.py): attention sublayer 5.59 vs
-# 6.31 ms, MLP sublayer 7.55 vs 9.23 ms.
+# Whole-half-block fusions: LayerNorm, the projection GEMMs, and the
+# residual add all ride in the same program, weights VMEM-resident across
+# the grid (constant index_map), so the y/q/k/v/attn-out/fc1 streams never
+# round-trip HBM and no XLA fusion boundary splits the block. Measured per
+# block (B=512, scripts/exp_vit_fused_sublayer.py): attention half 5.78 vs
+# 6.28 ms (k8 vs LN-in-XLA + projection-fused kernel; 6.31 before any
+# projection fusion), MLP half 8.03 vs 8.49 (9.23 before).
 # ---------------------------------------------------------------------------
 
 
@@ -96,12 +98,22 @@ def _wspec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _attn_sublayer_kernel(g: int, heads: int, dh: int, scale: float,
-                          y_ref, wq_ref, wk_ref, wv_ref, bqkv_ref,
-                          wo_ref, bo_ref, o_ref):
+def _ln_f32(x, s, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * s + b).astype(x.dtype)
+
+
+def _attn_block_kernel(g: int, heads: int, dh: int, scale: float, eps: float,
+                       x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                       bqkv_ref, wo_ref, bo_ref, o_ref):
     d = heads * dh
+    lns = lns_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
     for i in range(g):
-        y = y_ref[i]  # [n, d]
+        x = x_ref[i]  # [n, d]
+        y = _ln_f32(x, lns, lnb, eps)
         qf = (jnp.dot(y, wq_ref[...], preferred_element_type=jnp.float32)
               + bqkv_ref[0, :d]).astype(y.dtype)
         kf = (jnp.dot(y, wk_ref[...], preferred_element_type=jnp.float32)
@@ -122,34 +134,40 @@ def _attn_sublayer_kernel(g: int, heads: int, dh: int, scale: float,
             )
         att = jnp.concatenate(heads_out, axis=-1)
         o = jnp.dot(att, wo_ref[...], preferred_element_type=jnp.float32)
-        o_ref[i] = (o + bo_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+        o = o + bo_ref[...].astype(jnp.float32)
+        o_ref[i] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
 
 
-def attn_sublayer(y, wq, wk, wv, bqkv, wo, bo, heads: int) -> jax.Array:
-    """Fused q/k/v projection + multi-head attention + output projection.
+def attn_block(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo, heads: int,
+               eps: float = 1e-12) -> jax.Array:
+    """x + out_proj(mha(qkv_proj(layernorm(x)))) — the full pre-LN attention
+    half-block in one program.
 
-    y: [b, n, d] (post-LN residual stream); w*: [d, d]; bqkv: [1, 3d]
-    (q|k|v concatenated); bo: [1, d]. Inference-only (no VJP).
+    x: [b, n, d] residual stream; ln_s/ln_b: [1, d] fp32; w*: [d, d];
+    bqkv: [1, 3d] (q|k|v concatenated); bo: [1, d]. LN statistics, softmax,
+    GEMM accumulation, and the residual add are fp32. Inference-only
+    (no VJP).
     """
-    b, n, d = y.shape
+    b, n, d = x.shape
     dh = d // heads
     gb = 2 if b % 2 == 0 else 1
-    ys = pl.BlockSpec((gb, n, d), lambda bi: (bi, 0, 0),
+    xs = pl.BlockSpec((gb, n, d), lambda bi: (bi, 0, 0),
                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_sublayer_kernel, gb, heads, dh, dh**-0.5),
-        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        functools.partial(_attn_block_kernel, gb, heads, dh, dh**-0.5, eps),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b // gb,),
-        in_specs=[ys, _wspec((d, d)), _wspec((d, d)), _wspec((d, d)),
-                  _wspec((1, 3 * d)), _wspec((d, d)), _wspec((1, d))],
-        out_specs=ys,
+        in_specs=[xs, _wspec((1, d)), _wspec((1, d)), _wspec((d, d)),
+                  _wspec((d, d)), _wspec((d, d)), _wspec((1, 3 * d)),
+                  _wspec((d, d)), _wspec((1, d))],
+        out_specs=xs,
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d * 4 * d + 4 * b * heads * n * n * dh,
-            bytes_accessed=2 * y.size * y.dtype.itemsize,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=b * heads * n * n,
         ),
-    )(y, wq, wk, wv, bqkv, wo, bo)
+    )(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo)
 
 
 def _erf_f32(x):
@@ -166,41 +184,46 @@ def _erf_f32(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _mlp_sublayer_kernel(g: int, y_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                         o_ref):
+def _mlp_block_kernel(g: int, eps: float, x_ref, lns_ref, lnb_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    lns = lns_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
     for i in range(g):
-        y = y_ref[i]
+        x = x_ref[i]
+        y = _ln_f32(x, lns, lnb, eps)
         h = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32)
         h = h + b1_ref[...].astype(jnp.float32)
         h = 0.5 * h * (1.0 + _erf_f32(h * (2.0**-0.5)))  # exact gelu, f32
         o = jnp.dot(h.astype(y.dtype), w2_ref[...],
                     preferred_element_type=jnp.float32)
-        o_ref[i] = (o + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+        o = o + b2_ref[...].astype(jnp.float32)
+        o_ref[i] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
 
 
-def mlp_sublayer(y, w1, b1, w2, b2) -> jax.Array:
-    """Fused fc1 + exact-erf GELU (fp32, VMEM-resident) + fc2.
+def mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, eps: float = 1e-12) -> jax.Array:
+    """x + fc2(gelu(fc1(layernorm(x)))) — the full pre-LN MLP half-block in
+    one program, exact-erf GELU evaluated in fp32 in VMEM.
 
-    y: [b, n, d]; w1: [d, m]; b1: [1, m]; w2: [m, d]; b2: [1, d].
-    The [b, n, m] hidden stream and its fp32 GELU never touch HBM.
+    x: [b, n, d]; ln_s/ln_b: [1, d] fp32; w1: [d, m]; b1: [1, m];
+    w2: [m, d]; b2: [1, d]. The [b, n, m] hidden stream never touches HBM.
     Inference-only (no VJP).
     """
-    b, n, d = y.shape
+    b, n, d = x.shape
     m = w1.shape[1]
     gb = 2 if b % 2 == 0 else 1
-    ys = pl.BlockSpec((gb, n, d), lambda bi: (bi, 0, 0),
+    xs = pl.BlockSpec((gb, n, d), lambda bi: (bi, 0, 0),
                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_mlp_sublayer_kernel, gb),
-        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        functools.partial(_mlp_block_kernel, gb, eps),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b // gb,),
-        in_specs=[ys, _wspec((d, m)), _wspec((1, m)),
-                  _wspec((m, d)), _wspec((1, d))],
-        out_specs=ys,
+        in_specs=[xs, _wspec((1, d)), _wspec((1, d)), _wspec((d, m)),
+                  _wspec((1, m)), _wspec((m, d)), _wspec((1, d))],
+        out_specs=xs,
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * d * m,
-            bytes_accessed=2 * y.size * y.dtype.itemsize,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=b * n * m,
         ),
-    )(y, w1, b1, w2, b2)
+    )(x, ln_s, ln_b, w1, b1, w2, b2)

@@ -44,6 +44,8 @@ def make_weights(key):
         out=w(2, (D, D)), out_b=w(3, (1, D)),
         fc1=w(4, (D, MLP)), fc1_b=w(5, (1, MLP)),
         fc2=w(6, (MLP, D)), fc2_b=w(7, (1, D)),
+        ln_s=1.0 + w(0, (1, D)).astype(jnp.float32),
+        ln_b=w(1, (1, D)).astype(jnp.float32),
     )
 
 
@@ -179,6 +181,140 @@ def make_k7(g):
     return fn
 
 
+# --------------------------------------------------------------------------
+# K8/K9: LN + sublayer + residual add fused (whole half-block per program).
+# Each LN/residual between Pallas calls is an XLA fusion boundary with a
+# full [b, n, d] HBM round trip; folding them in removes ~4 boundaries per
+# block.
+# --------------------------------------------------------------------------
+
+LN_EPS = 1e-12
+
+
+def _ln_f32(x, s, b):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + LN_EPS) * s + b).astype(x.dtype)
+
+
+def xla_attn_blk(x, wts):
+    from mirror_tpu.ops.vit_attn_pallas import attn_sublayer
+
+    y = _ln_f32(x, wts["ln_s"][0], wts["ln_b"][0])
+    return x + attn_sublayer(y, wts["qkv"][:, :D], wts["qkv"][:, D:2 * D],
+                             wts["qkv"][:, 2 * D:], wts["qkv_b"],
+                             wts["out"], wts["out_b"], H)
+
+
+def xla_mlp_blk(x, wts):
+    from mirror_tpu.ops.vit_attn_pallas import mlp_sublayer
+
+    y = _ln_f32(x, wts["ln_s"][0], wts["ln_b"][0])
+    return x + mlp_sublayer(y, wts["fc1"], wts["fc1_b"], wts["fc2"],
+                            wts["fc2_b"])
+
+
+def _k8_kernel(g, x_ref, lns_ref, lnb_ref, qkv_ref, qkvb_ref, out_ref,
+               outb_ref, o_ref):
+    lns = lns_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
+    for i in range(g):
+        x = x_ref[i]
+        y = _ln_f32(x, lns, lnb)
+        qkv = jnp.dot(y, qkv_ref[...], preferred_element_type=jnp.float32)
+        qkv = (qkv + qkvb_ref[...].astype(jnp.float32)).astype(y.dtype)
+        heads = []
+        for h in range(H):
+            q = qkv[:, h * DH:(h + 1) * DH]
+            k = qkv[:, D + h * DH: D + (h + 1) * DH]
+            v = qkv[:, 2 * D + h * DH: 2 * D + (h + 1) * DH]
+            sim = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            attn = jax.nn.softmax(sim * SCALE, axis=-1)
+            heads.append(jnp.dot(attn.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32)
+                         .astype(y.dtype))
+        att = jnp.concatenate(heads, axis=-1)
+        o = jnp.dot(att, out_ref[...], preferred_element_type=jnp.float32)
+        o = o + outb_ref[...].astype(jnp.float32)
+        o_ref[i] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
+
+
+def make_k8(g):
+    def fn(x, wts):
+        b, n, d = x.shape
+        xs = pl.BlockSpec((g, n, d), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+        def wspec(shape):
+            return pl.BlockSpec(shape, lambda bi: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            functools.partial(_k8_kernel, g),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(b // g,),
+            in_specs=[xs, wspec((1, D)), wspec((1, D)), wspec((D, 3 * D)),
+                      wspec((1, 3 * D)), wspec((D, D)), wspec((1, D))],
+            out_specs=xs,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * N * D * 4 * D + 4 * b * H * N * N * DH,
+                bytes_accessed=2 * x.size * x.dtype.itemsize,
+                transcendentals=b * H * N * N,
+            ),
+        )(x, wts["ln_s"], wts["ln_b"], wts["qkv"], wts["qkv_b"],
+          wts["out"], wts["out_b"])
+
+    return fn
+
+
+def _k9_kernel(g, x_ref, lns_ref, lnb_ref, fc1_ref, fc1b_ref, fc2_ref,
+               fc2b_ref, o_ref):
+    lns = lns_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
+    for i in range(g):
+        x = x_ref[i]
+        y = _ln_f32(x, lns, lnb)
+        h = jnp.dot(y, fc1_ref[...], preferred_element_type=jnp.float32)
+        h = h + fc1b_ref[...].astype(jnp.float32)
+        h = 0.5 * h * (1.0 + _erf_f32(h * (2.0**-0.5)))
+        o = jnp.dot(h.astype(y.dtype), fc2_ref[...],
+                    preferred_element_type=jnp.float32)
+        o = o + fc2b_ref[...].astype(jnp.float32)
+        o_ref[i] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
+
+
+def make_k9(g):
+    def fn(x, wts):
+        b, n, d = x.shape
+        xs = pl.BlockSpec((g, n, d), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+        def wspec(shape):
+            return pl.BlockSpec(shape, lambda bi: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            functools.partial(_k9_kernel, g),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(b // g,),
+            in_specs=[xs, wspec((1, D)), wspec((1, D)), wspec((D, MLP)),
+                      wspec((1, MLP)), wspec((MLP, D)), wspec((1, D))],
+            out_specs=xs,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * N * D * MLP,
+                bytes_accessed=2 * x.size * x.dtype.itemsize,
+                transcendentals=b * N * MLP,
+            ),
+        )(x, wts["ln_s"], wts["ln_b"], wts["fc1"], wts["fc1_b"],
+          wts["fc2"], wts["fc2_b"])
+
+    return fn
+
+
 VARIANTS = {
     "xla_attn": ("attn", xla_attn),
     "k5g1": ("attn", make_k5(1)),
@@ -188,6 +324,12 @@ VARIANTS = {
     "k7g1": ("mlp", make_k7(1)),
     "k7g2": ("mlp", make_k7(2)),
     "k7g4": ("mlp", make_k7(4)),
+    "xla_attn_blk": ("attn_blk", xla_attn_blk),
+    "k8g1": ("attn_blk", make_k8(1)),
+    "k8g2": ("attn_blk", make_k8(2)),
+    "xla_mlp_blk": ("mlp_blk", xla_mlp_blk),
+    "k9g1": ("mlp_blk", make_k9(1)),
+    "k9g2": ("mlp_blk", make_k9(2)),
 }
 
 

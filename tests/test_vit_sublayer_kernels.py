@@ -1,18 +1,23 @@
-"""Direct parity tests for the fused ViT sublayer kernels
+"""Direct parity tests for the fused ViT half-block kernels
 (ops/vit_attn_pallas) against plain-jnp reference math, interpret mode on
 CPU. The full-model path is covered by tests/test_tools.py::
 test_vit_pallas_matches_dense; these pin the kernel contracts themselves
-(odd token counts, batch not divisible by the block size, erf accuracy)."""
+(odd token counts, batch not divisible by the block size, LN epsilon, erf
+accuracy)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mirror_tpu.ops.vit_attn_pallas import (
-    attn_sublayer,
-    mha_natural,
-    mlp_sublayer,
-)
+from mirror_tpu.ops.vit_attn_pallas import attn_block, mha_natural, mlp_block
+
+EPS = 1e-6  # deliberately non-default to pin the eps plumbing
+
+
+def _ref_ln(x, s, b):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + EPS) * s + b
 
 
 def _ref_mha(q, k, v, heads):
@@ -41,11 +46,13 @@ def test_mha_natural_matches_reference():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_attn_sublayer_matches_reference():
+def test_attn_block_matches_reference():
     rng = np.random.default_rng(1)
     b, n, heads, dh = 2, 29, 4, 8
     d = heads * dh
-    y = jnp.array(rng.normal(size=(b, n, d)).astype(np.float32))
+    x = jnp.array(rng.normal(size=(b, n, d)).astype(np.float32))
+    ln_s = jnp.array(1.0 + 0.1 * rng.normal(size=(d,)).astype(np.float32))
+    ln_b = jnp.array(0.1 * rng.normal(size=(d,)).astype(np.float32))
     wq, wk, wv, wo = (
         jnp.array(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
         for _ in range(4)
@@ -56,26 +63,34 @@ def test_attn_sublayer_matches_reference():
     )
     bqkv = jnp.concatenate([bq, bk, bv])[None, :]
     got = np.asarray(
-        attn_sublayer(y, wq, wk, wv, bqkv, wo, bo[None, :], heads)
+        attn_block(x, ln_s[None, :], ln_b[None, :], wq, wk, wv, bqkv, wo,
+                   bo[None, :], heads, EPS)
     )
+    y = _ref_ln(x, ln_s, ln_b)
     want = np.asarray(
-        _ref_mha(y @ wq + bq, y @ wk + bk, y @ wv + bv, heads) @ wo + bo
+        x + _ref_mha(y @ wq + bq, y @ wk + bk, y @ wv + bv, heads) @ wo + bo
     )
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_mlp_sublayer_matches_reference():
+def test_mlp_block_matches_reference():
     rng = np.random.default_rng(2)
     b, n, d, m = 3, 23, 32, 128
-    y = jnp.array(rng.normal(size=(b, n, d)).astype(np.float32))
+    x = jnp.array(rng.normal(size=(b, n, d)).astype(np.float32))
+    ln_s = jnp.array(1.0 + 0.1 * rng.normal(size=(d,)).astype(np.float32))
+    ln_b = jnp.array(0.1 * rng.normal(size=(d,)).astype(np.float32))
     w1 = jnp.array(rng.normal(size=(d, m)).astype(np.float32) * 0.2)
     b1 = jnp.array(rng.normal(size=(m,)).astype(np.float32))
     w2 = jnp.array(rng.normal(size=(m, d)).astype(np.float32) * 0.2)
     b2 = jnp.array(rng.normal(size=(d,)).astype(np.float32))
-    got = np.asarray(mlp_sublayer(y, w1, b1[None, :], w2, b2[None, :]))
+    got = np.asarray(
+        mlp_block(x, ln_s[None, :], ln_b[None, :], w1, b1[None, :], w2,
+                  b2[None, :], EPS)
+    )
+    y = _ref_ln(x, ln_s, ln_b)
     h = y @ w1 + b1
     want = np.asarray(
-        jax.nn.gelu(h.astype(jnp.float32), approximate=False) @ w2 + b2
+        x + jax.nn.gelu(h.astype(jnp.float32), approximate=False) @ w2 + b2
     )
     # the in-kernel Abramowitz-Stegun erf differs from XLA's erf by
     # <= 1.5e-7 pre-GEMM; the fc2 contraction (m=128 terms, |w| ~ 0.2)
