@@ -172,6 +172,7 @@ VARIANTS = {
     "k3g1": make_natural(1),
     "k3g2": make_natural(2),
     "k3g4": make_natural(4),
+    "k3g8": make_natural(8),
 }
 
 

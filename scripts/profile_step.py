@@ -19,18 +19,24 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(batch, tokens=2048, use_pallas=True, fwd_only=False):
+def build_step(batch, tokens=2048, use_pallas=True, fwd_only=False,
+               pinv_grad=None):
     from mirror_tpu.losses import MirrorLossWeights, mirror_loss
     from mirror_tpu.registry import create_model
     from mirror_tpu.train.optim import make_optimizer, make_schedule
     from mirror_tpu.train.state import create_train_state
     from mirror_tpu.train.steps import make_mirror_train_step
 
+    # default to the production/bench default (config.py --pinv-grad);
+    # override with MIRROR_BENCH_PINV_GRAD or the pinv_grad arg to profile
+    # the reference-faithful exact mode
+    if pinv_grad is None:
+        pinv_grad = os.environ.get("MIRROR_BENCH_PINV_GRAD", "implicit")
     model = create_model(
         "mirror",
         wsi_embed_dim=768, rna_embed_dim=10234, embed_dim=768,
         wsi_num_tokens=tokens, rna_mlp_ratio=4.0, rna_norm_eps=1e-5,
-        use_pallas=use_pallas, dtype="bfloat16",
+        use_pallas=use_pallas, pinv_grad=pinv_grad, dtype="bfloat16",
     )
 
     class A:
