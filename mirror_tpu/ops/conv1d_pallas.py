@@ -7,17 +7,31 @@ costs 48.8 ms/step at B=64 when XLA lowers it as a depthwise convolution —
 depthwise convs are VPU-bound shifted multiply-adds, and the backward
 kernel-gradient pass is worse. But a depthwise conv along a sequence is
 exactly ``Band @ v`` where Band[i, i+j] = kern[j]: materializing the band as
-[R, R+K-1] tiles in VMEM turns every pass — forward, dv (flipped band), and
-the kernel gradient (near-diagonal sums of g @ v^T tiles) — into dense MXU
-matmuls.
+[R, R+K-1] tiles in VMEM turns the forward and the dv pass (flipped band)
+into dense MXU matmuls.
 
-Each (batch, head) program holds its full padded sequence in VMEM (~0.5 MB
-at production shapes) and tiles the band matmul internally, so there are no
-overlapping (halo) block specs.
+This op is HBM-bound, not MXU-bound (33-tap conv at [64, 8, 2304, 96] bf16
+is ~0.5 ms of MXU work on 455 MB of traffic; this host's tunnel chip
+measured only ~120-270 GB/s effective HBM bandwidth, scripts/exp_hbm_floor),
+so the design minimizes PASSES over the data:
+
+- each program holds a GROUP of gb batch items' full sequences in VMEM and
+  builds every haloed window with static slices + zero-pad edges in-kernel,
+  so there is NO XLA pre-pad pass (2.4 ms/pass measured) and no overlapping
+  block specs;
+- the backward runs dv AND dkern in ONE kernel that reads g and v once
+  (separate kernels re-read g: 4 passes -> 3);
+- the band is built gather-free with a skew reshape (a jnp.take gather here
+  measured 1.5 ms/call, scalar-core bound);
+- grouping batch items widens the matmul RHS to [R + K - 1, gb * d] (the
+  windows of all gb items concatenated along d), cutting the grid from
+  b*h programs of [384, 416] @ [416, 96] slivers to (b/gb)*h programs of
+  [384, 416] @ [416, 768] MXU matmuls.
 
 Layout: v [b, h, n, d] head-major (matching the attention kernels), kern
-[h, K], K odd. Zero 'SAME' padding, no bias — the reference conv's exact
-semantics (torch Conv2d(h, h, (K,1), padding=(K//2,0), groups=h, bias=False)).
+[h, K], K odd, n >= K. Zero 'SAME' padding, no bias — the reference conv's
+exact semantics (torch Conv2d(h, h, (K,1), padding=(K//2,0), groups=h,
+bias=False)).
 """
 
 import functools
@@ -28,175 +42,186 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_TILE = 384  # divides the Nystrom padded lengths (2688, 2304)
+_VMEM_LIMIT = 64 * 1024 * 1024  # gb=8 blocks overflow the default 16 MB
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _batch_group(b: int) -> int:
+    """Largest batch-group size that divides b."""
+    for g in (8, 4, 2):
+        if b % g == 0:
+            return g
+    return 1
+
+
 def _band_tiles_xla(kern, rows, K, flip, dtype):
     """[h, rows, rows + K - 1] band tiles with Band[h, i, i + j] = kern[h, j]
-    (flipped for the transpose conv of the backward pass). Built ONCE in XLA
-    per call and streamed to the kernel as an input instead of K=33
-    masked-select passes per (batch, head) program — measured speed-neutral
-    at production shapes (the in-kernel build overlapped with DMA), kept for
-    the simpler kernel body."""
+    (flipped for the transpose conv of the backward pass).
+
+    Built with the skew-reshape trick instead of a gather: broadcast the taps
+    to [h, rows, K], pad each row to cols + 1, and flatten — element
+    [r, r + j] of the [rows, cols] view lands on flat index
+    r * (cols + 1) + j, i.e. padded-row r, slot j. Everything off-band hits
+    the zero padding: j' in [K, cols] for c > r + K - 1, and the c < r
+    wraparound lands at j' = cols + 1 + (c - r) >= K since
+    c - r >= -(rows - 1) and cols = rows + K - 1."""
     cols = rows + K - 1
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    j = c - r  # [rows, cols], tap index at each position
     kf = kern.astype(jnp.float32)
     if flip:
         kf = kf[:, ::-1]
-    taps = jnp.pad(kf, ((0, 0), (0, 1)))  # slot K holds 0 for off-band
-    j_idx = jnp.where((j >= 0) & (j < K), j, K)
-    return jnp.take(taps, j_idx, axis=1).astype(dtype)  # [h, rows, cols]
+    h = kf.shape[0]
+    a = jnp.broadcast_to(kf[:, None, :], (h, rows, K))
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, cols + 1 - K)))
+    flat = a.reshape(h, rows * (cols + 1))
+    return flat[:, : rows * cols].reshape(h, rows, cols).astype(dtype)
 
 
-def _banded_matmul(v_ref, o_ref, band, n_tiles, K):
-    """o[i] = sum_j band[0, j] pattern applied tile-wise: for each row tile,
-    read the haloed [R + K - 1, d] window from VMEM and hit the MXU."""
-    for t in range(n_tiles):
-        win = v_ref[0, 0, pl.dslice(t * ROW_TILE, ROW_TILE + K - 1), :]
-        o_ref[0, 0, pl.dslice(t * ROW_TILE, ROW_TILE), :] = jax.lax.dot(
-            band, win, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+def _tile_rows(n):
+    """Static (start, rows) for each row tile; the last tile may be short."""
+    tiles = []
+    s = 0
+    while s < n:
+        tiles.append((s, min(ROW_TILE, n - s)))
+        s += ROW_TILE
+    return tiles
 
 
-def _fwd_kernel(K: int, n_tiles: int, v_ref, band_ref, o_ref):
-    _banded_matmul(v_ref, o_ref, band_ref[0, :, :], n_tiles, K)
+def _window(x_ref, g, s0, rows, K, n):
+    """The zero-padded haloed window [rows + K - 1, d] for output rows
+    [s0, s0 + rows): source rows [s0 - half, s0 + rows + half) clamped to
+    [0, n), edges zero-padded in-register (no XLA pre-pad pass)."""
+    half = (K - 1) // 2
+    top = max(0, half - s0)
+    bot = max(0, s0 + rows + half - n)
+    start = s0 - half + top
+    length = rows + K - 1 - top - bot
+    core = x_ref[g, 0, pl.dslice(start, length), :]
+    if top or bot:
+        core = jnp.pad(core, ((top, bot), (0, 0)))
+    return core
 
 
-def _dv_kernel(K: int, n_tiles: int, g_ref, band_ref, dv_ref):
-    _banded_matmul(g_ref, dv_ref, band_ref[0, :, :], n_tiles, K)
+def _banded_kernel(K: int, n: int, gb: int, d: int, x_ref, band_ref, o_ref):
+    """o = Band @ x tile-wise over a group of gb batch items: concatenate
+    every item's window along d and hit the MXU once per row tile with a
+    [rows, rows + K - 1] @ [rows + K - 1, gb * d] dot (the band is shared
+    across the group — it depends only on the head)."""
+    band = band_ref[0, :, :]
+    for s0, rows in _tile_rows(n):
+        win = jnp.concatenate(
+            [_window(x_ref, g, s0, rows, K, n) for g in range(gb)], axis=1
+        )
+        out = jax.lax.dot(
+            band[:rows, : rows + K - 1], win,
+            preferred_element_type=jnp.float32,
+        )
+        for g in range(gb):
+            o_ref[g, 0, pl.dslice(s0, rows), :] = out[
+                :, g * d:(g + 1) * d
+            ].astype(o_ref.dtype)
 
 
-def _dkern_kernel(K: int, n_tiles: int, g_ref, v_ref, dk_ref, acc_ref):
-    """dkern[h, j] = sum_{b, i, d} g[b,h,i,d] * vpad[b,h,i+j,d], computed as
-    K direct shifted inner products <g, vpad[j:j+n]> over the full VMEM
-    sequence (pure VPU multiply-reduce; cheaper than materializing
-    g @ vpad^T and mask-summing its diagonals). Accumulated over b; grid is
-    (h, b) so all steps for one head are consecutive (the output block stays
-    resident)."""
-    bi = pl.program_id(1)
+def _bwd_kernel(K: int, n: int, gb: int, d: int, g_ref, v_ref, band_ref,
+                dv_ref, dk_ref, acc_ref):
+    """Fused backward: dv = flipped-Band @ g (banded MXU matmul) and
+    dkern[h, j] = sum_{b, i, d} g[b,h,i,d] * v[b,h,i+j-K//2,d] (K direct
+    shifted inner products, VPU multiply-reduce) in one kernel so g and v
+    stream from HBM once. Grid is (h, b/gb) so each head's dkern
+    accumulator block stays resident across the batch groups."""
+    bgi = pl.program_id(1)
 
-    @pl.when(bi == 0)
+    @pl.when(bgi == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    n_rows = n_tiles * ROW_TILE
+    _banded_kernel(K, n, gb, d, g_ref, band_ref, dv_ref)
+
+    half = (K - 1) // 2
     lane = jax.lax.iota(jnp.int32, 128)
-    g = g_ref[0, 0, :, :].astype(jnp.float32)
     row = jnp.zeros((128,), jnp.float32)
+    # concatenate the group along lanes ONCE so the tap loop is K ops over
+    # [n, gb*d] instead of gb*K ops (a gb*K-unrolled body exploded Mosaic
+    # compile time past 12 min at gb=8, K=33)
+    g_all = jnp.concatenate(
+        [g_ref[g, 0, :, :] for g in range(gb)], axis=1
+    ).astype(jnp.float32)
+    v_all = jnp.concatenate([v_ref[g, 0, :, :] for g in range(gb)], axis=1)
     for jj in range(K):
-        win = v_ref[0, 0, pl.dslice(jj, n_rows), :].astype(jnp.float32)
-        tap = jnp.sum(g * win)
+        off = jj - half  # v index = i + off, overlap-sliced at the edges
+        if off >= 0:
+            ga = g_all[: n - off, :]
+            va = v_all[off:, :]
+        else:
+            ga = g_all[-off:, :]
+            va = v_all[: n + off, :]
+        tap = jnp.sum(ga * va.astype(jnp.float32))
         row = row + jnp.where(lane == jj, tap, 0.0)
     acc_ref[0, :] = acc_ref[0, :] + row
     dk_ref[0, :, :] = jnp.broadcast_to(acc_ref[0, :][None, :], (8, 128))
 
 
-def _pad_seq(x, K, n_tiles):
-    """SAME zero pad + round the sequence up to the tiled length + halo."""
-    b, h, n, d = x.shape
-    half = (K - 1) // 2
-    total = n_tiles * ROW_TILE + K - 1
-    return jnp.pad(x, ((0, 0), (0, 0), (half, total - n - half), (0, 0)))
-
-
-def _specs(n_padded, d):
-    full = pl.BlockSpec(
-        (1, 1, n_padded, d), lambda bi, hi: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    kern_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return full, kern_spec
-
-
 def _fwd_call(v, kern):
     b, h, n, d = v.shape
     K = kern.shape[1]
-    n_tiles = -(-n // ROW_TILE)
-    vp = _pad_seq(v, K, n_tiles)
-    full_in, _ = _specs(vp.shape[2], d)
-    out_spec = pl.BlockSpec(
-        (1, 1, n_tiles * ROW_TILE, d), lambda bi, hi: (bi, hi, 0, 0),
+    gb = _batch_group(b)
+    seq_spec = pl.BlockSpec(
+        (gb, 1, n, d), lambda bgi, hi: (bgi, hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     bands = _band_tiles_xla(kern, ROW_TILE, K, flip=False, dtype=v.dtype)
     band_spec = pl.BlockSpec(
-        (1, ROW_TILE, ROW_TILE + K - 1), lambda bi, hi: (hi, 0, 0),
+        (1, ROW_TILE, ROW_TILE + K - 1), lambda bgi, hi: (hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, K, n_tiles),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_tiles * ROW_TILE, d), v.dtype),
-        grid=(b, h),
-        in_specs=[full_in, band_spec],
-        out_specs=out_spec,
+    return pl.pallas_call(
+        functools.partial(_banded_kernel, K, n, gb, d),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+        grid=(b // gb, h),
+        in_specs=[seq_spec, band_spec],
+        out_specs=seq_spec,
         interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * n_tiles * ROW_TILE * (ROW_TILE + K - 1) * d,
+            flops=2 * b * h * n * (ROW_TILE + K - 1) * d,
             bytes_accessed=2 * v.size * v.dtype.itemsize,
             transcendentals=0,
         ),
-    )(vp, bands)
-    return out[:, :, :n, :] if n_tiles * ROW_TILE != n else out
+    )(v, bands)
 
 
 def _bwd_call(v, kern, g):
     b, h, n, d = v.shape
     K = kern.shape[1]
-    n_tiles = -(-n // ROW_TILE)
-    gp = _pad_seq(g, K, n_tiles)
-    full_in, _ = _specs(gp.shape[2], d)
-    out_spec = pl.BlockSpec(
-        (1, 1, n_tiles * ROW_TILE, d), lambda bi, hi: (bi, hi, 0, 0),
+    gb = _batch_group(b)
+    seq_spec = pl.BlockSpec(
+        (gb, 1, n, d), lambda hi, bgi: (bgi, hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     bands_f = _band_tiles_xla(kern, ROW_TILE, K, flip=True, dtype=g.dtype)
     band_spec = pl.BlockSpec(
-        (1, ROW_TILE, ROW_TILE + K - 1), lambda bi, hi: (hi, 0, 0),
+        (1, ROW_TILE, ROW_TILE + K - 1), lambda hi, bgi: (hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    dv = pl.pallas_call(
-        functools.partial(_dv_kernel, K, n_tiles),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_tiles * ROW_TILE, d), v.dtype),
-        grid=(b, h),
-        in_specs=[full_in, band_spec],
-        out_specs=out_spec,
-        interpret=_use_interpret(),
-    )(gp, bands_f)
-    dv = dv[:, :, :n, :] if n_tiles * ROW_TILE != n else dv
-
-    # dkern: grid (h, b) so each head's accumulation is consecutive
-    vp = _pad_seq(v, K, n_tiles)
-    g_flat = (
-        jnp.pad(g, ((0, 0), (0, 0), (0, n_tiles * ROW_TILE - n), (0, 0)))
-        if n_tiles * ROW_TILE != n
-        else g
-    )
-    g_spec = pl.BlockSpec(
-        (1, 1, n_tiles * ROW_TILE, d), lambda hi, bi: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    v_spec = pl.BlockSpec(
-        (1, 1, vp.shape[2], d), lambda hi, bi: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    # (1, 8, 128) blocks keep the out spec (8,128)-tiling-legal; only
+    # (1, 8, 128) blocks keep the dk out spec (8,128)-tiling-legal; only
     # sublane 0 carries data
-    dk_spec = pl.BlockSpec((1, 8, 128), lambda hi, bi: (hi, 0, 0),
+    dk_spec = pl.BlockSpec((1, 8, 128), lambda hi, bgi: (hi, 0, 0),
                            memory_space=pltpu.VMEM)
-    dk = pl.pallas_call(
-        functools.partial(_dkern_kernel, K, n_tiles),
-        out_shape=jax.ShapeDtypeStruct((h, 8, 128), jnp.float32),
-        grid=(h, b),
-        in_specs=[g_spec, v_spec],
-        out_specs=dk_spec,
+    dv, dk = pl.pallas_call(
+        functools.partial(_bwd_kernel, K, n, gb, d),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+            jax.ShapeDtypeStruct((h, 8, 128), jnp.float32),
+        ),
+        grid=(h, b // gb),
+        in_specs=[seq_spec, seq_spec, band_spec],
+        out_specs=(seq_spec, dk_spec),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=_use_interpret(),
-    )(g_flat, vp)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(g, v, bands_f)
     return dv, dk[:, 0, :K].astype(kern.dtype)
 
 
@@ -204,7 +229,7 @@ def _bwd_call(v, kern, g):
 def depthwise_conv1d_seq(v, kern):
     """SAME zero-padded depthwise conv along axis 2: out[..., i, :] =
     sum_j kern[h, j] * v[..., i + j - K//2, :]. v: [b, h, n, d]; kern: [h, K]
-    (K odd)."""
+    (K odd, n >= K)."""
     return _fwd_call(v, kern)
 
 

@@ -65,6 +65,28 @@ def test_conv1d_grad_parity():
                                rtol=1e-4, atol=2e-3)
 
 
+def test_conv1d_grouped_partial_tile():
+    # b=8 exercises the gb=8 batch-grouped program path; n=416 exercises a
+    # short last row tile (384 + 32) with the production K=33 halo
+    v, kern = _inputs(jax.random.PRNGKey(7), b=8, h=2, n=416, d=16, K=33)
+    out = depthwise_conv1d_seq(v, kern)
+    ref = _xla_ref(v, kern)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    t = jax.random.normal(jax.random.PRNGKey(8), v.shape)
+    gv_p, gk_p = jax.grad(
+        lambda v, k: jnp.sum(depthwise_conv1d_seq(v, k) * t), argnums=(0, 1)
+    )(v, kern)
+    gv_r, gk_r = jax.grad(
+        lambda v, k: jnp.sum(_xla_ref(v, k) * t), argnums=(0, 1)
+    )(v, kern)
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_conv1d_bf16():
     v, kern = _inputs(jax.random.PRNGKey(4), n=130, d=8, K=5,
                       dtype=jnp.bfloat16)
