@@ -56,9 +56,15 @@ class PPEG(nn.Module):
     whose bias is b7 + b5 + b3 — mathematically exact (conv is linear in the
     kernel; gradients flow through the pad/sum back to the per-size params),
     and 49 taps in one pass instead of 83 taps in three passes over the
-    token grid. Param tree is unchanged (proj/proj1/proj2 kernel+bias)."""
+    token grid. Param tree is unchanged (proj/proj1/proj2 kernel+bias).
+
+    use_pallas additionally runs the merged conv + identity + bias as ONE
+    fused Pallas pass per direction (ops/ppeg_pallas: the backward emits
+    dimg/dk/db from a single read of g and img) — the op is HBM-pass-bound
+    on this chip (BASELINE.md HBM-floor memo)."""
 
     dim: int = 512
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -78,15 +84,24 @@ class PPEG(nn.Module):
         b_eff = b7 + b5 + b3
 
         cdt = self.dtype or jnp.float32
-        dw = jax.lax.conv_general_dilated(
-            img.astype(cdt),
-            k_eff.astype(cdt),
-            window_strides=(1, 1),
-            padding=((3, 3), (3, 3)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )
-        out = dw + b_eff.astype(cdt) + img
+        if self.use_pallas:
+            from mirror_tpu.ops.ppeg_pallas import ppeg_fused
+
+            out = ppeg_fused(
+                img.astype(cdt),
+                k_eff[:, :, 0, :].astype(cdt),
+                b_eff.astype(cdt),
+            )
+        else:
+            dw = jax.lax.conv_general_dilated(
+                img.astype(cdt),
+                k_eff.astype(cdt),
+                window_strides=(1, 1),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
+            out = dw + b_eff.astype(cdt) + img
         out = out.reshape(b, h * w, c)
         return jnp.concatenate([cls_token, out], axis=1)
 
@@ -184,7 +199,9 @@ class FeatureTransMIL(nn.Module):
             dim=self.embed_dim, xavier_init=self.xavier_init,
             use_pallas=self.use_pallas, pinv_grad=self.pinv_grad, dtype=self.dtype,
         )
-        self.pos_layer = PPEG(dim=self.embed_dim, dtype=self.dtype)
+        self.pos_layer = PPEG(
+            dim=self.embed_dim, use_pallas=self.use_pallas, dtype=self.dtype
+        )
         self.norm = nn.LayerNorm(
             epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
         )

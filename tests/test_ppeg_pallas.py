@@ -1,0 +1,75 @@
+"""Parity of the fused Pallas PPEG op (merged 7x7 depthwise conv +
+identity + bias, ops/ppeg_pallas.py) against the XLA formulation it
+replaces (models/transmil.py PPEG, use_pallas=False): values and all
+three gradients (dimg, dkern, dbias)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_tpu.ops.ppeg_pallas import ppeg_fused
+
+
+def _xla_ref(img, kern, bias):
+    c = img.shape[-1]
+    dw = jax.lax.conv_general_dilated(
+        img, kern[:, :, None, :],
+        window_strides=(1, 1),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return img + bias + dw
+
+
+def _inputs(key, b=2, h=9, w=9, c=256, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    img = jax.random.normal(k1, (b, h, w, c), jnp.float32).astype(dtype)
+    kern = (0.1 * jax.random.normal(k2, (7, 7, c), jnp.float32)).astype(dtype)
+    bias = (0.1 * jax.random.normal(k3, (c,), jnp.float32)).astype(dtype)
+    return img, kern, bias
+
+
+def test_ppeg_value_parity():
+    img, kern, bias = _inputs(jax.random.PRNGKey(0))
+    out = ppeg_fused(img, kern, bias)
+    ref = _xla_ref(img, kern, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ppeg_value_parity_rect_grid():
+    # non-square and sublane-unaligned spatial dims (h=5, w=11)
+    img, kern, bias = _inputs(jax.random.PRNGKey(1), b=1, h=5, w=11, c=128)
+    out = ppeg_fused(img, kern, bias)
+    ref = _xla_ref(img, kern, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ppeg_grad_parity():
+    img, kern, bias = _inputs(jax.random.PRNGKey(2), b=2, h=8, w=8, c=128)
+    t = jax.random.normal(jax.random.PRNGKey(3), img.shape)
+
+    def loss_pal(img, kern, bias):
+        return jnp.sum(ppeg_fused(img, kern, bias) * t)
+
+    def loss_ref(img, kern, bias):
+        return jnp.sum(_xla_ref(img, kern, bias) * t)
+
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(img, kern, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(img, kern, bias)
+    for a, b_, tol in zip(gp, gr, (1e-4, 2e-3, 2e-3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=tol)
+
+
+def test_ppeg_bf16():
+    img, kern, bias = _inputs(jax.random.PRNGKey(4), b=1, h=6, w=6, c=128,
+                              dtype=jnp.bfloat16)
+    out = ppeg_fused(img, kern, bias)
+    ref = _xla_ref(img, kern, bias)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.03, atol=0.03,
+    )
