@@ -72,7 +72,7 @@ def _bwd_kernel(H: int, W: int, g_ref, img_ref, kf_ref, dimg_ref, dk_ref,
     img = img_ref[0]
     img_pad = jnp.pad(img, ((K // 2, K // 2), (K // 2, K // 2), (0, 0)))
     row = jax.lax.broadcasted_iota(jnp.int32, (K * K + 7, 1), 0)
-    dk = jnp.zeros_like(dk_acc)
+    dk = jnp.zeros(dk_acc.shape, dk_acc.dtype)
     for dy in range(K):
         for dx in range(K):
             win = img_pad[dy:dy + H, dx:dx + W, :].astype(jnp.float32)
