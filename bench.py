@@ -74,6 +74,26 @@ def selftest():
         leaves = [val] + jax.tree.leaves(grads)
         finite = all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
         results[grad_mode] = finite
+
+    # the fused PPEG kernel also runs in every TPU train step
+    # (PPEG(use_pallas=True) via FeatureTransMIL) — compile fwd+bwd at the
+    # flagship token grid (2048 tokens -> 46x46)
+    from mirror_tpu.ops.ppeg_pallas import ppeg_fused
+
+    img = jax.random.normal(key, (8, 46, 46, 512), jnp.bfloat16)
+    kern = 0.1 * jax.random.normal(key, (7, 7, 512), jnp.bfloat16)
+    bias = jnp.zeros((512,), jnp.bfloat16)
+
+    def ppeg_loss(img, kern, bias):
+        return jnp.sum(ppeg_fused(img, kern, bias).astype(jnp.float32))
+
+    pval, pgrads = jax.jit(jax.value_and_grad(ppeg_loss, argnums=(0, 1, 2)))(
+        img, kern, bias
+    )
+    results["ppeg_fused"] = all(
+        bool(jnp.all(jnp.isfinite(l)))
+        for l in [pval] + list(jax.tree.leaves(pgrads))
+    )
     ok = all(results.values())
     print(json.dumps({
         "metric": "pallas_tpu_selftest",

@@ -162,6 +162,11 @@ def attn_block(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo, heads: int,
                   _wspec((d, d)), _wspec((1, d))],
         out_specs=xs,
         interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            # the fp32 path's resident weights + streams exceed the default
+            # 16 MB scoped window (e.g. fp32 w1+w2 alone are 18.9 MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d * 4 * d + 4 * b * heads * n * n * dh,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
@@ -221,6 +226,9 @@ def mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, eps: float = 1e-12) -> jax.Array:
                   _wspec((1, m)), _wspec((m, d)), _wspec((1, d))],
         out_specs=xs,
         interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * d * m,
             bytes_accessed=2 * x.size * x.dtype.itemsize,

@@ -290,7 +290,9 @@ def import_checkpoint(
         ema_tree, ema_unmapped = convert_state_dict(merged_ema)
         if ema_unmapped:
             _logger.warning("unmapped EMA keys: %s", ema_unmapped)
-    n_leaves = len(jax_tree_leaves(tree))
+    import jax
+
+    n_leaves = len(jax.tree.leaves(tree))
     _logger.info(
         "imported %d param tensors (%d unmapped) from %s",
         n_leaves, len(unmapped),
@@ -309,19 +311,6 @@ def import_checkpoint(
         "imported_from": "torch",
     }
 
-
-def jax_tree_leaves(tree: Dict[str, Any]) -> List[np.ndarray]:
-    out: List[np.ndarray] = []
-
-    def walk(n):
-        if isinstance(n, dict):
-            for v in n.values():
-                walk(v)
-        else:
-            out.append(n)
-
-    walk(tree)
-    return out
 
 
 def main(argv=None):

@@ -176,27 +176,25 @@ class CheckpointSaver:
             self._dispatch([(last, payload)])
             return self.best_metric, self.best_epoch
         writes = [(path, payload), (last, payload)]
-
-        if metric is not None:
-            self.checkpoint_files.append((path, metric))
-            self.checkpoint_files.sort(
-                key=lambda t: t[1], reverse=not self.decreasing
-            )
-            while len(self.checkpoint_files) > self.max_history:
-                drop_path, _ = self.checkpoint_files.pop()
-                if drop_path == path:
-                    # the checkpoint we are ABOUT to write already fell out
-                    # of the best-k window (worse than every kept metric):
-                    # don't write it at all — removing it here raced the
-                    # async write and left an orphan file on disk forever
-                    writes = [w for w in writes if w[0] != path]
-                else:
-                    _remove_checkpoint(drop_path)
-            if self.best_metric is None or self._cmp(metric, self.best_metric):
-                self.best_metric = metric
-                self.best_epoch = epoch
-                best = os.path.join(self.checkpoint_dir, f"model_best{self.ext}")
-                writes.append((best, payload))
+        self.checkpoint_files.append((path, metric))
+        self.checkpoint_files.sort(
+            key=lambda t: t[1], reverse=not self.decreasing
+        )
+        while len(self.checkpoint_files) > self.max_history:
+            drop_path, _ = self.checkpoint_files.pop()
+            if drop_path == path:
+                # the checkpoint we are ABOUT to write already fell out
+                # of the best-k window (worse than every kept metric):
+                # don't write it at all — removing it here raced the
+                # async write and left an orphan file on disk forever
+                writes = [w for w in writes if w[0] != path]
+            else:
+                _remove_checkpoint(drop_path)
+        if self.best_metric is None or self._cmp(metric, self.best_metric):
+            self.best_metric = metric
+            self.best_epoch = epoch
+            best = os.path.join(self.checkpoint_dir, f"model_best{self.ext}")
+            writes.append((best, payload))
         self._dispatch(writes)
         return self.best_metric, self.best_epoch
 

@@ -243,6 +243,11 @@ class TrainHarness:
     def _init_wandb(self):
         if not getattr(self.args, "log_wandb", False):
             return None
+        if jax.process_index() != 0:
+            # multi-host: one wandb run, owned by process 0 (the reference
+            # gates on rank 0, train_mirror.py:917-950); out_dir/saver are
+            # already process-0-only
+            return None
         try:
             import wandb
         except ImportError:

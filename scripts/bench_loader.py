@@ -91,7 +91,10 @@ def main():
               f"({results[nt]['gbytes_per_s']:.2f} GB/s)", flush=True)
 
     best = max(r["samples_per_s"] for r in results.values())
-    per_core = results[1]["samples_per_s"]
+    # per-core basis: the 1-thread measurement if present, else the lowest
+    # measured thread count (avoids a KeyError when --threads omits 1)
+    base_nt = min(results)
+    per_core = results[base_nt]["samples_per_s"] / base_nt
     need = args.chip_rate * args.n_chips
     cores_needed = need / per_core
     model = {
