@@ -73,3 +73,20 @@ def test_ppeg_bf16():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=0.03, atol=0.03,
     )
+
+
+def test_ppeg_module_pallas_matches_xla():
+    """PPEG(use_pallas=True) == PPEG(use_pallas=False) through the module
+    (same params): covers the k_eff [k,k,1,c] -> [k,k,c] wiring and the
+    cls-token bypass around the fused kernel."""
+    from mirror_tpu.models.transmil import PPEG
+
+    b, h, w, c = 2, 6, 6, 128
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, h * w + 1, c))
+    m_xla = PPEG(dim=c, use_pallas=False)
+    m_pal = PPEG(dim=c, use_pallas=True)
+    params = m_xla.init(jax.random.PRNGKey(6), x, h, w)
+    out_x = m_xla.apply(params, x, h, w)
+    out_p = m_pal.apply(params, x, h, w)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
