@@ -253,6 +253,7 @@ class NystromAttention(nn.Module):
 
         if self.use_pallas:
             from mirror_tpu.ops.nystrom_pallas import (
+                fused_softmax_attn_conv,
                 softmax_matmul_landmark_q,
                 softmax_matmul_landmark_kv,
             )
@@ -261,23 +262,23 @@ class NystromAttention(nn.Module):
             # r3 = softmax(q_l k^T) v : [b, h, m, dh]
             r3 = softmax_matmul_landmark_kv(q_l, k, v)
             w = attn2_inv @ r3  # [b, h, m, dh], compute dtype
-            # (an attn+conv megafusion was tried in round 1 and measured
-            # SLOWER — serial VPU MACs stalled the MXU pipeline; the banded-
-            # matmul conv below superseded it entirely)
-            out_hm = softmax_matmul_landmark_q(q, k_l, w.astype(q.dtype))
             if self.residual and not _ABLATE_RES_CONV:
-                # banded-matmul Pallas conv: the XLA depthwise conv's
-                # fwd+bwd was 48.8 ms/step at B=64 (ablation); the MXU
-                # band formulation runs it in a few ms (ops/conv1d_pallas)
-                from mirror_tpu.ops.conv1d_pallas import depthwise_conv1d_seq
-
+                # the banded-matmul residual conv (ops/conv1d_pallas; the
+                # XLA depthwise conv's fwd+bwd was 48.8 ms/step at B=64)
+                # rides INSIDE the final attention kernel: the op is
+                # HBM-pass-bound on this chip and the fusion removes the
+                # conv's separate read-v/write-res passes and the backward
+                # re-read of g. (Round 1's losing megafusion used serial
+                # VPU tap-MACs; the banded MXU form is what rides free.)
                 res_kernel = self._res_kernel(h)
                 cdt = self.dtype or jnp.float32
                 kern2d = res_kernel.reshape(h, self.residual_conv_kernel)
-                res = depthwise_conv1d_seq(
-                    v.astype(cdt), kern2d.astype(cdt)
-                ).astype(out_hm.dtype)
-                out_hm = out_hm + res
+                out_hm = fused_softmax_attn_conv(
+                    q, k_l, w.astype(q.dtype), v.astype(q.dtype),
+                    kern2d.astype(cdt),
+                )
+            else:
+                out_hm = softmax_matmul_landmark_q(q, k_l, w.astype(q.dtype))
             # head-major out-projection: head merge folds into the GEMM
             out = _OutProjection(
                 out_features=d, heads=h, dim_head=dh,

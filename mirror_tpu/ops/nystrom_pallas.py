@@ -155,3 +155,210 @@ def softmax_matmul_landmark_kv(q_l, k, v):
 def softmax_matmul_landmark_q(q, k_l, w):
     """out = softmax(q @ k_l^T) @ w : [b, h, n, d] (softmax over m)."""
     return fused_softmax_attn(q, k_l, w)
+
+
+# ---------------------------------------------------------------------------
+# Attention + residual-conv megafusion
+#
+# The Nystrom residual conv consumes v and its output is added to this
+# kernel's output (models/nystrom.py) — as a separate op it costs two extra
+# full HBM passes forward (read v, write res; this chip's effective HBM
+# bandwidth is only ~120-270 GB/s, BASELINE.md HBM-floor memo) and re-reads
+# g in the backward. Riding the banded-matmul conv (see ops/conv1d_pallas)
+# inside the attention programs removes those passes: forward reads v once
+# and writes the summed output; backward reads g/v once and emits
+# dq/dk_l/dw AND dv/dkern together. (Round 1 tried an attn+conv megafusion
+# with serial VPU tap-MACs and lost — the banded MXU formulation is what
+# makes it ride for free.)
+# ---------------------------------------------------------------------------
+
+import functools
+
+from mirror_tpu.ops.conv1d_pallas import (
+    _band_tiles_xla,
+    _tile_rows,
+    _window,
+    ROW_TILE,
+    _VMEM_LIMIT,
+)
+
+
+def _attn_part(q_ref, k_ref, w_ref):
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    w = w_ref[0, 0, :, :]
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.dot(attn.astype(w.dtype), w, preferred_element_type=jnp.float32)
+
+
+def _fwd_conv_kernel(K: int, n: int, q_ref, k_ref, w_ref, v_ref, band_ref,
+                     o_ref):
+    out = _attn_part(q_ref, k_ref, w_ref)  # [n, d] f32
+    band = band_ref[0, :, :]
+    for s0, rows in _tile_rows(n):
+        win = _window(v_ref, 0, s0, rows, K, n)
+        conv = jax.lax.dot(
+            band[:rows, : rows + K - 1], win,
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, 0, pl.dslice(s0, rows), :] = (
+            out[s0:s0 + rows, :] + conv
+        ).astype(o_ref.dtype)
+
+
+def _bwd_conv_kernel(K: int, n: int, q_ref, k_ref, w_ref, v_ref, bandf_ref,
+                     g_ref, dq_ref, dk_ref, dw_ref, dv_ref, dkern_ref,
+                     acc_ref):
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # attention backward (same math as _bwd_kernel)
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    w = w_ref[0, 0, :, :]
+    g = g_ref[0, 0, :, :]
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(sim, axis=-1)
+    dw = jax.lax.dot_general(
+        attn.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw_ref[0, 0, :, :] = dw.astype(dw_ref.dtype)
+    dattn = jax.lax.dot_general(
+        g, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    tmp = attn * dattn
+    dsim = tmp - attn * jnp.sum(tmp, axis=-1, keepdims=True)
+    dsim = dsim.astype(q.dtype)
+    dq_ref[0, 0, :, :] = jnp.dot(
+        dsim, k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0, :, :] = jax.lax.dot_general(
+        dsim, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+    # conv backward riding along: dv = flipped-band conv of g
+    bandf = bandf_ref[0, :, :]
+    for s0, rows in _tile_rows(n):
+        win = _window(g_ref, 0, s0, rows, K, n)
+        dv = jax.lax.dot(
+            bandf[:rows, : rows + K - 1], win,
+            preferred_element_type=jnp.float32,
+        )
+        dv_ref[0, 0, pl.dslice(s0, rows), :] = dv.astype(dv_ref.dtype)
+
+    # dkern taps: dk[j] = sum_i g[i] . v[i + j - K//2] (overlap-sliced)
+    half = (K - 1) // 2
+    lane = jax.lax.iota(jnp.int32, 128)
+    row = jnp.zeros((128,), jnp.float32)
+    g32 = g.astype(jnp.float32)
+    for jj in range(K):
+        off = jj - half
+        if off >= 0:
+            ga = g32[: n - off, :]
+            va = v_ref[0, 0, pl.dslice(off, n - off), :]
+        else:
+            ga = g32[-off:, :]
+            va = v_ref[0, 0, pl.dslice(0, n + off), :]
+        tap = jnp.sum(ga * va.astype(jnp.float32))
+        row = row + jnp.where(lane == jj, tap, 0.0)
+    acc_ref[0, :] = acc_ref[0, :] + row
+    dkern_ref[0, :, :] = jnp.broadcast_to(acc_ref[0, :][None, :], (8, 128))
+
+
+def _conv_specs(n, m, d):
+    # grid (h, b): the dkern accumulator block stays resident per head
+    qs = pl.BlockSpec((1, 1, n, d), lambda hi, bi: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, 1, m, d), lambda hi, bi: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return qs, ks
+
+
+def _fwd_conv_call(q, k_l, w, v, kern):
+    b, h, n, d = q.shape
+    m = k_l.shape[2]
+    K = kern.shape[1]
+    qs, ks = _conv_specs(n, m, d)
+    band_spec = pl.BlockSpec(
+        (1, ROW_TILE, ROW_TILE + K - 1), lambda hi, bi: (hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bands = _band_tiles_xla(kern, ROW_TILE, K, flip=False, dtype=v.dtype)
+    return pl.pallas_call(
+        functools.partial(_fwd_conv_kernel, K, n),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(h, b),
+        in_specs=[qs, ks, ks, qs, band_spec],
+        out_specs=qs,
+        interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * n * m * d
+            + 2 * b * h * n * (ROW_TILE + K - 1) * d,
+            bytes_accessed=2 * (q.size + v.size + 2 * k_l.size)
+            * q.dtype.itemsize,
+            transcendentals=b * h * n * m,
+        ),
+    )(q, k_l, w, v, bands)
+
+
+def _bwd_conv_call(q, k_l, w, v, kern, g):
+    b, h, n, d = q.shape
+    m = k_l.shape[2]
+    K = kern.shape[1]
+    qs, ks = _conv_specs(n, m, d)
+    band_spec = pl.BlockSpec(
+        (1, ROW_TILE, ROW_TILE + K - 1), lambda hi, bi: (hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dkern_spec = pl.BlockSpec((1, 8, 128), lambda hi, bi: (hi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    bands_f = _band_tiles_xla(kern, ROW_TILE, K, flip=True, dtype=g.dtype)
+    dq, dkl, dw, dv, dkern = pl.pallas_call(
+        functools.partial(_bwd_conv_kernel, K, n),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k_l.shape, k_l.dtype),
+            jax.ShapeDtypeStruct(w.shape, w.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((h, 8, 128), jnp.float32),
+        ),
+        grid=(h, b),
+        in_specs=[qs, ks, ks, qs, band_spec, qs],
+        out_specs=(qs, ks, ks, qs, dkern_spec),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(q, k_l, w, v, bands_f, g)
+    return dq, dkl, dw, dv, dkern[:, 0, :K].astype(kern.dtype)
+
+
+@jax.custom_vjp
+def fused_softmax_attn_conv(q, k_l, w, v, kern):
+    """softmax(q @ k_l^T over m) @ w + depthwise_conv1d_seq(v, kern), fused.
+
+    q, v: [b, h, n, d]; k_l, w: [b, h, m, d]; kern: [h, K] (K odd, n >= K)
+    -> [b, h, n, d]. The conv is the SAME zero-padded 33-tap residual conv
+    of the Nystrom attention (ref nystrom_attention res_conv)."""
+    return _fwd_conv_call(q, k_l, w, v, kern)
+
+
+def _vjp_conv_fwd(q, k_l, w, v, kern):
+    return _fwd_conv_call(q, k_l, w, v, kern), (q, k_l, w, v, kern)
+
+
+def _vjp_conv_bwd(residuals, g):
+    q, k_l, w, v, kern = residuals
+    return _bwd_conv_call(q, k_l, w, v, kern, g.astype(q.dtype))
+
+
+fused_softmax_attn_conv.defvjp(_vjp_conv_fwd, _vjp_conv_bwd)
