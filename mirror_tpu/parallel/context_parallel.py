@@ -210,22 +210,24 @@ def _layer_norm(x, p, eps=1e-5):
 
 
 def _ppeg(x, p, side, dtype):
-    """PPEG forward from raw flax params (models/transmil.py::PPEG): three
-    depthwise convs (7/5/3) + identity over the token grid; cls bypasses."""
+    """PPEG forward from raw flax params (models/transmil.py::PPEG): the
+    7/5/3 pyramid merged into ONE 7x7 depthwise conv (conv is linear in the
+    kernel; same merge as the module) + identity; cls bypasses."""
     cls_t, feat = x[:1], x[1:]
     c = feat.shape[-1]
     img = feat.reshape(1, side, side, c).astype(dtype)
-    out = img
-    for name in ("proj", "proj1", "proj2"):
-        kern = p[name]["kernel"].astype(dtype)  # HWIO [k, k, 1, c] grouped
-        bias = p[name]["bias"].astype(dtype)
-        k = kern.shape[0]
-        conv = jax.lax.conv_general_dilated(
-            img, kern, (1, 1), ((k // 2, k // 2), (k // 2, k // 2)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        ) + bias
-        out = out + conv
+    k_eff = (
+        p["proj"]["kernel"]
+        + jnp.pad(p["proj1"]["kernel"], ((1, 1), (1, 1), (0, 0), (0, 0)))
+        + jnp.pad(p["proj2"]["kernel"], ((2, 2), (2, 2), (0, 0), (0, 0)))
+    ).astype(dtype)
+    b_eff = (p["proj"]["bias"] + p["proj1"]["bias"]
+             + p["proj2"]["bias"]).astype(dtype)
+    out = img + b_eff + jax.lax.conv_general_dilated(
+        img, k_eff, (1, 1), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
     return jnp.concatenate([cls_t, out.reshape(side * side, c).astype(x.dtype)], axis=0)
 
 
