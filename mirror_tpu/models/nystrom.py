@@ -200,7 +200,14 @@ class NystromAttention(nn.Module):
 
         padding = (m - n % m) % m
         n_pad = n + padding
-        if padding > 0:
+        if padding > 0 and not self.use_pallas:
+            # dense path: materialize the reference's front pad. The Pallas
+            # path never pads — the kernels are pad-aware (the pad rows are
+            # zero through the bias-free to_qkv, so their landmark-mean and
+            # softmax contributions have closed forms; see
+            # ops/landmark_pallas._group_matrix and
+            # ops/nystrom_pallas._softmax_pad), which removes the ~4 full-
+            # stream pad/trim HBM passes per layer and 9% of the row count.
             x = jnp.pad(x, ((0, 0), (padding, 0), (0, 0)))  # front-pad
 
         l = n_pad // m
@@ -221,7 +228,7 @@ class NystromAttention(nn.Module):
 
             q, k, v = proj(x, head_major=True)
             q = q * scale
-            q_l, k_l, attn2 = landmark_softmax(q, k, m)
+            q_l, k_l, attn2 = landmark_softmax(q, k, m, padding)
         else:
             q, k, v = proj(x, head_major=False)  # each [b, n, h, dh]
             q = q * scale
@@ -258,9 +265,10 @@ class NystromAttention(nn.Module):
                 softmax_matmul_landmark_kv,
             )
 
-            # everything already head-major [b, h, n, dh]
+            # everything already head-major [b, h, n, dh] (UNPADDED: the
+            # front pad's softmax terms ride as `padding` virtual columns)
             # r3 = softmax(q_l k^T) v : [b, h, m, dh]
-            r3 = softmax_matmul_landmark_kv(q_l, k, v)
+            r3 = softmax_matmul_landmark_kv(q_l, k, v, padding)
             w = attn2_inv @ r3  # [b, h, m, dh], compute dtype
             if self.residual and not _ABLATE_RES_CONV:
                 # the banded-matmul residual conv (ops/conv1d_pallas; the
@@ -288,7 +296,7 @@ class NystromAttention(nn.Module):
             out = RematDropout(self.dropout, name="out_dropout")(
                 out, deterministic
             )
-            return out[:, -n:]
+            return out  # never padded: all n rows are real
         else:
             cdt = self.dtype or jnp.float32
             sim1 = jnp.einsum(

@@ -30,8 +30,13 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _group_matrix(m, l, dtype):
-    """[m, m*l] 0/1 matrix G with G[g, i] = 1 for g*l <= i < (g+1)*l.
+def _group_matrix(m, l, dtype, pad=0):
+    """[m, m*l - pad] 0/1 matrix G with G[g, i] = 1 when real row i lands in
+    group g of the FRONT-PADDED sequence: (i + pad) // l == g. The Nystrom
+    front pad is all-zero rows, so dropping their columns leaves the group
+    sums unchanged while the divisor stays 1/l — the means are exactly the
+    padded means without ever materializing the padded stream (the jnp.pad
+    round trip was ~2 full-stream HBM passes per layer).
 
     Group means run on the MXU as (G @ x) * (1/l) instead of a
     reshape-[m, l, dh]-sum: l=6 rows per group straddle the 8-row sublane
@@ -42,9 +47,10 @@ def _group_matrix(m, l, dtype):
     Built once in XLA per call site and kept VMEM-resident across the grid
     (constant index_map).
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m * l), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m * l), 1)
-    return jnp.where((cols // l) == rows, 1.0, 0.0).astype(dtype)
+    n = m * l - pad
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    return jnp.where(((cols + pad) // l) == rows, 1.0, 0.0).astype(dtype)
 
 
 def _group_mean_mxu(x, g_mat, l):
@@ -105,23 +111,23 @@ def _bwd_kernel(
     ).astype(dk_ref.dtype)
 
 
-def _specs(n_pad, m, dh):
-    seq = pl.BlockSpec((1, 1, n_pad, dh), lambda bi, hi: (bi, hi, 0, 0),
+def _specs(n, m, dh):
+    seq = pl.BlockSpec((1, 1, n, dh), lambda bi, hi: (bi, hi, 0, 0),
                        memory_space=pltpu.VMEM)
     lm = pl.BlockSpec((1, 1, m, dh), lambda bi, hi: (bi, hi, 0, 0),
                       memory_space=pltpu.VMEM)
     a2 = pl.BlockSpec((1, 1, m, m), lambda bi, hi: (bi, hi, 0, 0),
                       memory_space=pltpu.VMEM)
-    gm = pl.BlockSpec((m, n_pad), lambda bi, hi: (0, 0),
+    gm = pl.BlockSpec((m, n), lambda bi, hi: (0, 0),
                       memory_space=pltpu.VMEM)
     return seq, lm, a2, gm
 
 
-def _fwd_call(q, k, m):
-    b, h, n_pad, dh = q.shape
-    l = n_pad // m
-    seq, lm, a2, gm = _specs(n_pad, m, dh)
-    g_mat = _group_matrix(m, l, q.dtype)
+def _fwd_call(q, k, m, pad):
+    b, h, n, dh = q.shape
+    l = (n + pad) // m
+    seq, lm, a2, gm = _specs(n, m, dh)
+    g_mat = _group_matrix(m, l, q.dtype, pad)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, m, l),
         out_shape=(
@@ -134,18 +140,18 @@ def _fwd_call(q, k, m):
         out_specs=(lm, lm, a2),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * m * m * dh + 4 * b * h * n_pad * dh,
+            flops=2 * b * h * m * m * dh + 4 * b * h * n * dh,
             bytes_accessed=2 * (q.size + k.size) * q.dtype.itemsize,
             transcendentals=b * h * m * m,
         ),
     )(q, k, g_mat)
 
 
-def _bwd_call(q, k, m, gql, gkl, ga2):
-    b, h, n_pad, dh = q.shape
-    l = n_pad // m
-    seq, lm, a2, gm = _specs(n_pad, m, dh)
-    g_mat = _group_matrix(m, l, q.dtype)
+def _bwd_call(q, k, m, pad, gql, gkl, ga2):
+    b, h, n, dh = q.shape
+    l = (n + pad) // m
+    seq, lm, a2, gm = _specs(n, m, dh)
+    g_mat = _group_matrix(m, l, q.dtype, pad)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, m, l),
         out_shape=(
@@ -159,25 +165,29 @@ def _bwd_call(q, k, m, gql, gkl, ga2):
     )(q, k, gql, gkl, ga2, g_mat)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def landmark_softmax(q, k, m):
-    """(q_l, k_l, attn2) from head-major q, k [b, h, n_pad, dh].
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def landmark_softmax(q, k, m, pad=0):
+    """(q_l, k_l, attn2) from head-major q, k [b, h, n, dh].
 
-    q_l/k_l: contiguous-group means ([b, h, m, dh]); attn2 =
-    softmax(q_l @ k_l^T) in the input dtype. n_pad must be a multiple of m.
+    q_l/k_l: contiguous-group means over the virtually FRONT-PADDED
+    sequence of length n + pad (the pad rows are implicit zeros; the
+    divisor stays the group size l = (n + pad) // m), so the result equals
+    the reference's pad-then-mean without materializing the pad.
+    attn2 = softmax(q_l @ k_l^T) in the input dtype. n + pad must be a
+    multiple of m.
     """
-    return _fwd_call(q, k, m)
+    return _fwd_call(q, k, m, pad)
 
 
-def _vjp_fwd(q, k, m):
-    return _fwd_call(q, k, m), (q, k)
+def _vjp_fwd(q, k, m, pad):
+    return _fwd_call(q, k, m, pad), (q, k)
 
 
-def _vjp_bwd(m, res, gs):
+def _vjp_bwd(m, pad, res, gs):
     q, k = res
     gql, gkl, ga2 = gs
     dq, dk = _bwd_call(
-        q, k, m,
+        q, k, m, pad,
         gql.astype(q.dtype), gkl.astype(k.dtype), ga2.astype(q.dtype),
     )
     return dq, dk

@@ -29,19 +29,34 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_kernel(q_ref, k_ref, w_ref, o_ref):
+def _softmax_pad(sim, pad):
+    """Row softmax of [sim_pad | sim] where sim_pad is `pad` implicit zero
+    columns (the Nystrom front-pad rows give k=0 so their logits are
+    exactly 0; v=0 so they add nothing to the numerator): the pad's whole
+    effect is max(mx, 0) and +pad*exp(-mx) in the denominator. Equals the
+    reference's softmax-over-the-padded-sequence without materializing the
+    padded k/v streams."""
+    if pad == 0:
+        return jax.nn.softmax(sim, axis=-1)
+    mx = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), 0.0)
+    e = jnp.exp(sim - mx)
+    denom = jnp.sum(e, axis=-1, keepdims=True) + pad * jnp.exp(-mx)
+    return e / denom
+
+
+def _fwd_kernel(pad: int, q_ref, k_ref, w_ref, o_ref):
     q = q_ref[0, 0, :, :]
     k = k_ref[0, 0, :, :]
     w = w_ref[0, 0, :, :]
     sim = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    attn = jax.nn.softmax(sim, axis=-1)
+    attn = _softmax_pad(sim, pad)
     out = jnp.dot(attn.astype(w.dtype), w, preferred_element_type=jnp.float32)
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, w_ref, g_ref, dq_ref, dk_ref, dw_ref):
+def _bwd_kernel(pad: int, q_ref, k_ref, w_ref, g_ref, dq_ref, dk_ref, dw_ref):
     q = q_ref[0, 0, :, :]
     k = k_ref[0, 0, :, :]
     w = w_ref[0, 0, :, :]
@@ -49,7 +64,9 @@ def _bwd_kernel(q_ref, k_ref, w_ref, g_ref, dq_ref, dk_ref, dw_ref):
     sim = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    attn = jax.nn.softmax(sim, axis=-1)  # [r, c] f32
+    # pad columns need no backward terms: their dattn = g @ 0^T = 0, so
+    # they drop out of the softmax-VJP row sum too
+    attn = _softmax_pad(sim, pad)  # [r, c] f32
 
     # dW = attn^T @ g
     dw = jax.lax.dot_general(
@@ -84,12 +101,13 @@ def _specs(b, h, r, c, d):
     return qs, ks
 
 
-def _fwd_call(q, k, w):
+def _fwd_call(q, k, w, pad=0):
     b, h, r, d = q.shape
     c = k.shape[2]
     qs, ks = _specs(b, h, r, c, d)
+    import functools as _ft
     return pl.pallas_call(
-        _fwd_kernel,
+        _ft.partial(_fwd_kernel, pad),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(b, h),
         in_specs=[qs, ks, ks],
@@ -103,12 +121,13 @@ def _fwd_call(q, k, w):
     )(q, k, w)
 
 
-def _bwd_call(q, k, w, g):
+def _bwd_call(q, k, w, g, pad=0):
     b, h, r, d = q.shape
     c = k.shape[2]
     qs, ks = _specs(b, h, r, c, d)
+    import functools as _ft
     return pl.pallas_call(
-        _bwd_kernel,
+        _ft.partial(_bwd_kernel, pad),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -126,30 +145,36 @@ def _bwd_call(q, k, w, g):
     )(q, k, w, g)
 
 
-@jax.custom_vjp
-def fused_softmax_attn(q, k, w):
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_softmax_attn(q, k, w, pad=0):
     """softmax(q @ k^T over the c axis) @ w, fused per (batch, head).
 
-    q: [b, h, r, d]; k, w: [b, h, c, d] -> [b, h, r, d].
+    q: [b, h, r, d]; k, w: [b, h, c, d] -> [b, h, r, d]. `pad` virtual
+    zero columns (zero k rows AND zero w rows) participate in the softmax
+    exactly as the reference's front-padded sequence (see _softmax_pad).
     """
-    return _fwd_call(q, k, w)
+    return _fwd_call(q, k, w, pad)
 
 
-def _vjp_fwd(q, k, w):
-    return _fwd_call(q, k, w), (q, k, w)
+def _vjp_fwd(q, k, w, pad):
+    return _fwd_call(q, k, w, pad), (q, k, w)
 
 
-def _vjp_bwd(residuals, g):
+def _vjp_bwd(pad, residuals, g):
     q, k, w = residuals
-    return _bwd_call(q, k, w, g.astype(q.dtype))
+    return _bwd_call(q, k, w, g.astype(q.dtype), pad)
 
 
 fused_softmax_attn.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def softmax_matmul_landmark_kv(q_l, k, v):
-    """r3 = softmax(q_l @ k^T) @ v : [b, h, m, d] (softmax over n)."""
-    return fused_softmax_attn(q_l, k, v)
+def softmax_matmul_landmark_kv(q_l, k, v, pad=0):
+    """r3 = softmax(q_l @ k^T) @ v : [b, h, m, d] (softmax over n + pad
+    virtual zero tokens)."""
+    return fused_softmax_attn(q_l, k, v, pad)
 
 
 def softmax_matmul_landmark_q(q, k_l, w):

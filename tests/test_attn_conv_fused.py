@@ -83,3 +83,73 @@ def test_nystrom_module_fused_matches_dense():
     out_p = m_pal.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pad_aware_kv_softmax_matches_padded():
+    """fused_softmax_attn with `pad` virtual zero columns == the physically
+    front-padded computation (values + grads)."""
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 3)
+    b, h, m, n, d, pad = 2, 2, 8, 40, 16, 24
+    q_l = jax.random.normal(ks[0], (b, h, m, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (pad, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (pad, 0), (0, 0)))
+
+    def loss_virtual(q_l, k, v):
+        return jnp.sum(fused_softmax_attn(q_l, k, v, pad) ** 2)
+
+    def loss_padded(q_l, kp, vp):
+        return jnp.sum(fused_softmax_attn(q_l, kp, vp) ** 2)
+
+    out_v = fused_softmax_attn(q_l, k, v, pad)
+    out_p = fused_softmax_attn(q_l, kp, vp)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_p),
+                               rtol=1e-5, atol=1e-5)
+    gv = jax.grad(loss_virtual, argnums=(0, 1, 2))(q_l, k, v)
+    gp = jax.grad(loss_padded, argnums=(0, 1, 2))(q_l, kp, vp)
+    # grads to 1e-4: the padded path sums `pad` separate exp(-mx) denominator
+    # terms where the virtual path multiplies once — FP-order noise that the
+    # softmax-VJP cancellation amplifies
+    np.testing.assert_allclose(np.asarray(gv[0]), np.asarray(gp[0]),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv[1]),
+                               np.asarray(gp[1][:, :, pad:]),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv[2]),
+                               np.asarray(gp[2][:, :, pad:]),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_pad_aware_landmark_means_match_padded():
+    """landmark_softmax with a virtual front pad == the physically padded
+    computation (values + grads)."""
+    from mirror_tpu.ops.landmark_pallas import landmark_softmax
+
+    key = jax.random.PRNGKey(8)
+    b, h, n, d, m, pad = 2, 2, 40, 16, 8, 24
+    q = jax.random.normal(jax.random.split(key)[0], (b, h, n, d))
+    k = jax.random.normal(jax.random.split(key)[1], (b, h, n, d))
+    qp = jnp.pad(q, ((0, 0), (0, 0), (pad, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (pad, 0), (0, 0)))
+
+    for o_v, o_p in zip(landmark_softmax(q, k, m, pad),
+                        landmark_softmax(qp, kp, m)):
+        np.testing.assert_allclose(np.asarray(o_v), np.asarray(o_p),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss_v(q, k):
+        ql, kl, a2 = landmark_softmax(q, k, m, pad)
+        return jnp.sum(ql ** 2) + jnp.sum(kl ** 2) + jnp.sum(a2 ** 2)
+
+    def loss_p(qp, kp):
+        ql, kl, a2 = landmark_softmax(qp, kp, m)
+        return jnp.sum(ql ** 2) + jnp.sum(kl ** 2) + jnp.sum(a2 ** 2)
+
+    gv = jax.grad(loss_v, argnums=(0, 1))(q, k)
+    gp = jax.grad(loss_p, argnums=(0, 1))(qp, kp)
+    for a, b_ in zip(gv, gp):
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(b_[:, :, pad:]),
+                                   rtol=1e-5, atol=1e-5)
