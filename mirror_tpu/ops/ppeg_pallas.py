@@ -17,10 +17,16 @@ memo), so this kernel does each direction in a single pass:
   correlations) and db [C] — three gradients, one pass, with dk/db
   accumulated across the sequential batch grid in resident blocks.
 
-Layout: img [b, H, W, C] NHWC (C=512 rides the lanes; W is the sublane
-dim, so the dx in 0..6 tap slices are sublane shifts). One batch item per
-program — 49 unrolled tap FMAs per body keeps Mosaic compile time sane
-(the conv1d kernel's 264-op body blew past 12 min)."""
+Layout: img [b, H, W, C] NHWC (C rides the lanes; W is the sublane dim,
+so the dx in 0..6 tap slices are sublane shifts). Depthwise conv is
+channel-independent, so the grid blocks over (channel-block, batch): one
+[1, H, W, CBLK] tile per program. At production shape (46x46x768 fp32
+accumulation, 49 unrolled taps) a full-C program needs >76M of scoped
+VMEM (Mosaic keeps several tap temporaries live) vs the 64M limit;
+CBLK<=256 keeps every buffer under ~2.3M. Batch is the innermost
+(fastest) grid dim so the dk/db scratch accumulators sweep each channel
+block's batch contiguously. 49 unrolled tap FMAs per body keeps Mosaic
+compile time sane (the conv1d kernel's 264-op body blew past 12 min)."""
 
 import functools
 
@@ -37,6 +43,14 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _cblk(C: int) -> int:
+    """Largest channel tile <=256 that divides C (lane-aligned when C is)."""
+    for cand in (256, 128):
+        if C % cand == 0:
+            return cand
+    return C
+
+
 def _fwd_kernel(H: int, W: int, img_ref, k_ref, b_ref, o_ref):
     img = img_ref[0]  # [H, W, C]
     pad = jnp.pad(img, ((K // 2, K // 2), (K // 2, K // 2), (0, 0)))
@@ -51,7 +65,7 @@ def _fwd_kernel(H: int, W: int, img_ref, k_ref, b_ref, o_ref):
 
 def _bwd_kernel(H: int, W: int, g_ref, img_ref, kf_ref, dimg_ref, dk_ref,
                 db_ref, dk_acc, db_acc):
-    bi = pl.program_id(0)
+    bi = pl.program_id(1)  # batch is the innermost (fastest) grid dim
 
     @pl.when(bi == 0)
     def _init():
@@ -86,18 +100,19 @@ def _bwd_kernel(H: int, W: int, g_ref, img_ref, kf_ref, dimg_ref, dk_ref,
 
 def _fwd_call(img, kern, bias):
     b, H, W, C = img.shape
-    img_spec = pl.BlockSpec((1, H, W, C), lambda bi: (bi, 0, 0, 0),
+    cb = _cblk(C)
+    img_spec = pl.BlockSpec((1, H, W, cb), lambda ci, bi: (bi, 0, 0, ci),
                             memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((K * K + 7, C), lambda bi: (0, 0),
+    k_spec = pl.BlockSpec((K * K + 7, cb), lambda ci, bi: (0, ci),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((8, C), lambda bi: (0, 0),
+    b_spec = pl.BlockSpec((8, cb), lambda ci, bi: (0, ci),
                           memory_space=pltpu.VMEM)
     k_pad = jnp.pad(kern.reshape(K * K, C), ((0, 7), (0, 0)))
     b_pad = jnp.broadcast_to(bias[None, :], (8, C))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, H, W),
         out_shape=jax.ShapeDtypeStruct(img.shape, img.dtype),
-        grid=(b,),
+        grid=(C // cb, b),
         in_specs=[img_spec, k_spec, b_spec],
         out_specs=img_spec,
         interpret=_use_interpret(),
@@ -107,13 +122,14 @@ def _fwd_call(img, kern, bias):
 
 def _bwd_call(img, kern, g):
     b, H, W, C = img.shape
-    seq_spec = pl.BlockSpec((1, H, W, C), lambda bi: (bi, 0, 0, 0),
+    cb = _cblk(C)
+    seq_spec = pl.BlockSpec((1, H, W, cb), lambda ci, bi: (bi, 0, 0, ci),
                             memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((K * K + 7, C), lambda bi: (0, 0),
+    k_spec = pl.BlockSpec((K * K + 7, cb), lambda ci, bi: (0, ci),
                           memory_space=pltpu.VMEM)
-    dk_spec = pl.BlockSpec((K * K + 7, C), lambda bi: (0, 0),
+    dk_spec = pl.BlockSpec((K * K + 7, cb), lambda ci, bi: (0, ci),
                            memory_space=pltpu.VMEM)
-    db_spec = pl.BlockSpec((8, C), lambda bi: (0, 0),
+    db_spec = pl.BlockSpec((8, cb), lambda ci, bi: (0, ci),
                            memory_space=pltpu.VMEM)
     kf = kern[::-1, ::-1, :].reshape(K * K, C)
     kf_pad = jnp.pad(kf, ((0, 7), (0, 0)))
@@ -124,12 +140,12 @@ def _bwd_call(img, kern, g):
             jax.ShapeDtypeStruct((K * K + 7, C), jnp.float32),
             jax.ShapeDtypeStruct((8, C), jnp.float32),
         ),
-        grid=(b,),
+        grid=(C // cb, b),
         in_specs=[seq_spec, seq_spec, k_spec],
         out_specs=(seq_spec, dk_spec, db_spec),
         scratch_shapes=[
-            pltpu.VMEM((K * K + 7, C), jnp.float32),
-            pltpu.VMEM((8, C), jnp.float32),
+            pltpu.VMEM((K * K + 7, cb), jnp.float32),
+            pltpu.VMEM((8, cb), jnp.float32),
         ],
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
