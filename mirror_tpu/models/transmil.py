@@ -47,6 +47,20 @@ class _DepthwiseConvParams(nn.Module):
         return kernel, bias
 
 
+def merge_ppeg_pyramid(k7, k5, k3, b7, b5, b3):
+    """Merge the 7/5/3 SAME-centered depthwise pyramid into ONE 7x7 conv:
+    k_eff = k7 + pad(k5) + pad(k3), b_eff = b7 + b5 + b3. Exact because conv
+    is linear in the kernel; gradients flow through the pad/sum back to the
+    per-size params. Single source for both PPEG.__call__ and the
+    context-parallel encoder (parallel/context_parallel.py::_ppeg)."""
+    k_eff = (
+        k7
+        + jnp.pad(k5, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        + jnp.pad(k3, ((2, 2), (2, 2), (0, 0), (0, 0)))
+    )
+    return k_eff, b7 + b5 + b3
+
+
 class PPEG(nn.Module):
     """Pyramid Position Encoding Generator (ref :317-331): depthwise convs of
     kernel 7/5/3 over the token grid; the cls token bypasses.
@@ -76,12 +90,7 @@ class PPEG(nn.Module):
         k7, b7 = _DepthwiseConvParams(7, c, name="proj")()
         k5, b5 = _DepthwiseConvParams(5, c, name="proj1")()
         k3, b3 = _DepthwiseConvParams(3, c, name="proj2")()
-        k_eff = (
-            k7
-            + jnp.pad(k5, ((1, 1), (1, 1), (0, 0), (0, 0)))
-            + jnp.pad(k3, ((2, 2), (2, 2), (0, 0), (0, 0)))
-        )
-        b_eff = b7 + b5 + b3
+        k_eff, b_eff = merge_ppeg_pyramid(k7, k5, k3, b7, b5, b3)
 
         cdt = self.dtype or jnp.float32
         if self.use_pallas:

@@ -151,6 +151,11 @@ def _bwd_kernel(K: int, n: int, gb: int, d: int, g_ref, v_ref, band_ref,
     v_all = jnp.concatenate([v_ref[g, 0, :, :] for g in range(gb)], axis=1)
     for jj in range(K):
         off = jj - half  # v index = i + off, overlap-sliced at the edges
+        if abs(off) >= n:
+            # no g[i]/v[i+off] overlap for sequences shorter than the tap
+            # offset: this tap's gradient is exactly zero (skipping also
+            # avoids negative-size slices at trace time when n <= K//2)
+            continue
         if off >= 0:
             ga = g_all[: n - off, :]
             va = v_all[off:, :]

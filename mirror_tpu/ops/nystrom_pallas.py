@@ -19,10 +19,20 @@ pseudo-inverse stays in XLA to preserve the reference's global-max scaling
 (see models/nystrom.py docstring).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from mirror_tpu.ops.conv1d_pallas import (
+    _band_tiles_xla,
+    _tile_rows,
+    _window,
+    ROW_TILE,
+    _VMEM_LIMIT,
+)
 
 
 def _use_interpret() -> bool:
@@ -44,28 +54,24 @@ def _softmax_pad(sim, pad):
     return e / denom
 
 
-def _fwd_kernel(pad: int, q_ref, k_ref, w_ref, o_ref):
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    w = w_ref[0, 0, :, :]
+def _attn_fwd_math(q, k, w, pad):
+    """out = softmax_pad(q @ k^T) @ w on plain arrays — the single source of
+    the attention forward math, shared by the bare and conv-fused kernels."""
     sim = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     attn = _softmax_pad(sim, pad)
-    out = jnp.dot(attn.astype(w.dtype), w, preferred_element_type=jnp.float32)
-    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+    return jnp.dot(attn.astype(w.dtype), w, preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(pad: int, q_ref, k_ref, w_ref, g_ref, dq_ref, dk_ref, dw_ref):
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    w = w_ref[0, 0, :, :]
-    g = g_ref[0, 0, :, :]
+def _attn_bwd_math(q, k, w, g, pad):
+    """(dq, dk, dw) of _attn_fwd_math, recomputing the softmax in-kernel
+    (flash-attention-style). Shared by the bare and conv-fused backward
+    kernels. Pad columns need no extra terms: their dattn = g @ 0^T = 0, so
+    they drop out of the softmax-VJP row sum too."""
     sim = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # pad columns need no backward terms: their dattn = g @ 0^T = 0, so
-    # they drop out of the softmax-VJP row sum too
     attn = _softmax_pad(sim, pad)  # [r, c] f32
 
     # dW = attn^T @ g
@@ -73,8 +79,6 @@ def _bwd_kernel(pad: int, q_ref, k_ref, w_ref, g_ref, dq_ref, dk_ref, dw_ref):
         attn.astype(g.dtype), g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dw_ref[0, 0, :, :] = dw.astype(dw_ref.dtype)
-
     # dAttn = g @ w^T ; dSim = attn * (dAttn - rowsum(dAttn * attn))
     dattn = jax.lax.dot_general(
         g, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -84,11 +88,26 @@ def _bwd_kernel(pad: int, q_ref, k_ref, w_ref, g_ref, dq_ref, dk_ref, dw_ref):
     dsim = dsim.astype(q.dtype)
 
     dq = jnp.dot(dsim, k, preferred_element_type=jnp.float32)
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
     dk = jax.lax.dot_general(
         dsim, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    return dq, dk, dw
+
+
+def _fwd_kernel(pad: int, q_ref, k_ref, w_ref, o_ref):
+    out = _attn_fwd_math(q_ref[0, 0, :, :], k_ref[0, 0, :, :],
+                         w_ref[0, 0, :, :], pad)
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(pad: int, q_ref, k_ref, w_ref, g_ref, dq_ref, dk_ref, dw_ref):
+    dq, dk, dw = _attn_bwd_math(
+        q_ref[0, 0, :, :], k_ref[0, 0, :, :], w_ref[0, 0, :, :],
+        g_ref[0, 0, :, :], pad,
+    )
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dw_ref[0, 0, :, :] = dw.astype(dw_ref.dtype)
 
 
 def _specs(b, h, r, c, d):
@@ -105,9 +124,8 @@ def _fwd_call(q, k, w, pad=0):
     b, h, r, d = q.shape
     c = k.shape[2]
     qs, ks = _specs(b, h, r, c, d)
-    import functools as _ft
     return pl.pallas_call(
-        _ft.partial(_fwd_kernel, pad),
+        functools.partial(_fwd_kernel, pad),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(b, h),
         in_specs=[qs, ks, ks],
@@ -125,9 +143,8 @@ def _bwd_call(q, k, w, g, pad=0):
     b, h, r, d = q.shape
     c = k.shape[2]
     qs, ks = _specs(b, h, r, c, d)
-    import functools as _ft
     return pl.pallas_call(
-        _ft.partial(_bwd_kernel, pad),
+        functools.partial(_bwd_kernel, pad),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -145,10 +162,7 @@ def _bwd_call(q, k, w, g, pad=0):
     )(q, k, w, g)
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_softmax_attn(q, k, w, pad=0):
     """softmax(q @ k^T over the c axis) @ w, fused per (batch, head).
 
@@ -197,31 +211,10 @@ def softmax_matmul_landmark_q(q, k_l, w):
 # makes it ride for free.)
 # ---------------------------------------------------------------------------
 
-import functools
-
-from mirror_tpu.ops.conv1d_pallas import (
-    _band_tiles_xla,
-    _tile_rows,
-    _window,
-    ROW_TILE,
-    _VMEM_LIMIT,
-)
-
-
-def _attn_part(q_ref, k_ref, w_ref):
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    w = w_ref[0, 0, :, :]
-    sim = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    attn = jax.nn.softmax(sim, axis=-1)
-    return jnp.dot(attn.astype(w.dtype), w, preferred_element_type=jnp.float32)
-
-
-def _fwd_conv_kernel(K: int, n: int, q_ref, k_ref, w_ref, v_ref, band_ref,
-                     o_ref):
-    out = _attn_part(q_ref, k_ref, w_ref)  # [n, d] f32
+def _fwd_conv_kernel(K: int, n: int, pad: int, q_ref, k_ref, w_ref, v_ref,
+                     band_ref, o_ref):
+    out = _attn_fwd_math(q_ref[0, 0, :, :], k_ref[0, 0, :, :],
+                         w_ref[0, 0, :, :], pad)  # [n, d] f32
     band = band_ref[0, :, :]
     for s0, rows in _tile_rows(n):
         win = _window(v_ref, 0, s0, rows, K, n)
@@ -234,41 +227,22 @@ def _fwd_conv_kernel(K: int, n: int, q_ref, k_ref, w_ref, v_ref, band_ref,
         ).astype(o_ref.dtype)
 
 
-def _bwd_conv_kernel(K: int, n: int, q_ref, k_ref, w_ref, v_ref, bandf_ref,
-                     g_ref, dq_ref, dk_ref, dw_ref, dv_ref, dkern_ref,
-                     acc_ref):
+def _bwd_conv_kernel(K: int, n: int, pad: int, q_ref, k_ref, w_ref, v_ref,
+                     bandf_ref, g_ref, dq_ref, dk_ref, dw_ref, dv_ref,
+                     dkern_ref, acc_ref):
     bi = pl.program_id(1)
 
     @pl.when(bi == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # attention backward (same math as _bwd_kernel)
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    w = w_ref[0, 0, :, :]
     g = g_ref[0, 0, :, :]
-    sim = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    dq, dk, dw = _attn_bwd_math(
+        q_ref[0, 0, :, :], k_ref[0, 0, :, :], w_ref[0, 0, :, :], g, pad
     )
-    attn = jax.nn.softmax(sim, axis=-1)
-    dw = jax.lax.dot_general(
-        attn.astype(g.dtype), g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
     dw_ref[0, 0, :, :] = dw.astype(dw_ref.dtype)
-    dattn = jax.lax.dot_general(
-        g, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    tmp = attn * dattn
-    dsim = tmp - attn * jnp.sum(tmp, axis=-1, keepdims=True)
-    dsim = dsim.astype(q.dtype)
-    dq_ref[0, 0, :, :] = jnp.dot(
-        dsim, k, preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
-    dk_ref[0, 0, :, :] = jax.lax.dot_general(
-        dsim, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
 
     # conv backward riding along: dv = flipped-band conv of g
     bandf = bandf_ref[0, :, :]
@@ -287,6 +261,11 @@ def _bwd_conv_kernel(K: int, n: int, q_ref, k_ref, w_ref, v_ref, bandf_ref,
     g32 = g.astype(jnp.float32)
     for jj in range(K):
         off = jj - half
+        if abs(off) >= n:
+            # no g[i]/v[i+off] overlap for sequences shorter than the tap
+            # offset: this tap's gradient is exactly zero (skipping also
+            # avoids negative-size slices at trace time when n <= K//2)
+            continue
         if off >= 0:
             ga = g32[: n - off, :]
             va = v_ref[0, 0, pl.dslice(off, n - off), :]
@@ -308,7 +287,7 @@ def _conv_specs(n, m, d):
     return qs, ks
 
 
-def _fwd_conv_call(q, k_l, w, v, kern):
+def _fwd_conv_call(q, k_l, w, v, kern, pad=0):
     b, h, n, d = q.shape
     m = k_l.shape[2]
     K = kern.shape[1]
@@ -319,7 +298,7 @@ def _fwd_conv_call(q, k_l, w, v, kern):
     )
     bands = _band_tiles_xla(kern, ROW_TILE, K, flip=False, dtype=v.dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_conv_kernel, K, n),
+        functools.partial(_fwd_conv_kernel, K, n, pad),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(h, b),
         in_specs=[qs, ks, ks, qs, band_spec],
@@ -336,7 +315,7 @@ def _fwd_conv_call(q, k_l, w, v, kern):
     )(q, k_l, w, v, bands)
 
 
-def _bwd_conv_call(q, k_l, w, v, kern, g):
+def _bwd_conv_call(q, k_l, w, v, kern, g, pad=0):
     b, h, n, d = q.shape
     m = k_l.shape[2]
     K = kern.shape[1]
@@ -349,7 +328,7 @@ def _bwd_conv_call(q, k_l, w, v, kern, g):
                               memory_space=pltpu.VMEM)
     bands_f = _band_tiles_xla(kern, ROW_TILE, K, flip=True, dtype=g.dtype)
     dq, dkl, dw, dv, dkern = pl.pallas_call(
-        functools.partial(_bwd_conv_kernel, K, n),
+        functools.partial(_bwd_conv_kernel, K, n, pad),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k_l.shape, k_l.dtype),
@@ -367,23 +346,27 @@ def _bwd_conv_call(q, k_l, w, v, kern, g):
     return dq, dkl, dw, dv, dkern[:, 0, :K].astype(kern.dtype)
 
 
-@jax.custom_vjp
-def fused_softmax_attn_conv(q, k_l, w, v, kern):
-    """softmax(q @ k_l^T over m) @ w + depthwise_conv1d_seq(v, kern), fused.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_softmax_attn_conv(q, k_l, w, v, kern, pad=0):
+    """softmax(q @ k_l^T over m + pad virtual zero cols) @ w
+    + depthwise_conv1d_seq(v, kern), fused.
 
-    q, v: [b, h, n, d]; k_l, w: [b, h, m, d]; kern: [h, K] (K odd, n >= K)
+    q, v: [b, h, n, d]; k_l, w: [b, h, m, d]; kern: [h, K] (K odd)
     -> [b, h, n, d]. The conv is the SAME zero-padded 33-tap residual conv
-    of the Nystrom attention (ref nystrom_attention res_conv)."""
-    return _fwd_conv_call(q, k_l, w, v, kern)
+    of the Nystrom attention (ref nystrom_attention res_conv). The Nystrom
+    caller softmaxes over the m landmarks (never padded), so it passes
+    pad=0; `pad` exists so the softmax semantics stay identical to
+    fused_softmax_attn if this kernel is ever reused on a padded axis."""
+    return _fwd_conv_call(q, k_l, w, v, kern, pad)
 
 
-def _vjp_conv_fwd(q, k_l, w, v, kern):
-    return _fwd_conv_call(q, k_l, w, v, kern), (q, k_l, w, v, kern)
+def _vjp_conv_fwd(q, k_l, w, v, kern, pad):
+    return _fwd_conv_call(q, k_l, w, v, kern, pad), (q, k_l, w, v, kern)
 
 
-def _vjp_conv_bwd(residuals, g):
+def _vjp_conv_bwd(pad, residuals, g):
     q, k_l, w, v, kern = residuals
-    return _bwd_conv_call(q, k_l, w, v, kern, g.astype(q.dtype))
+    return _bwd_conv_call(q, k_l, w, v, kern, g.astype(q.dtype), pad)
 
 
 fused_softmax_attn_conv.defvjp(_vjp_conv_fwd, _vjp_conv_bwd)

@@ -211,18 +211,19 @@ def _layer_norm(x, p, eps=1e-5):
 
 def _ppeg(x, p, side, dtype):
     """PPEG forward from raw flax params (models/transmil.py::PPEG): the
-    7/5/3 pyramid merged into ONE 7x7 depthwise conv (conv is linear in the
-    kernel; same merge as the module) + identity; cls bypasses."""
+    7/5/3 pyramid merged into ONE 7x7 depthwise conv via the module's own
+    merge_ppeg_pyramid helper + identity; cls bypasses."""
+    from mirror_tpu.models.transmil import merge_ppeg_pyramid
+
     cls_t, feat = x[:1], x[1:]
     c = feat.shape[-1]
     img = feat.reshape(1, side, side, c).astype(dtype)
-    k_eff = (
-        p["proj"]["kernel"]
-        + jnp.pad(p["proj1"]["kernel"], ((1, 1), (1, 1), (0, 0), (0, 0)))
-        + jnp.pad(p["proj2"]["kernel"], ((2, 2), (2, 2), (0, 0), (0, 0)))
-    ).astype(dtype)
-    b_eff = (p["proj"]["bias"] + p["proj1"]["bias"]
-             + p["proj2"]["bias"]).astype(dtype)
+    k_eff, b_eff = merge_ppeg_pyramid(
+        p["proj"]["kernel"], p["proj1"]["kernel"], p["proj2"]["kernel"],
+        p["proj"]["bias"], p["proj1"]["bias"], p["proj2"]["bias"],
+    )
+    k_eff = k_eff.astype(dtype)
+    b_eff = b_eff.astype(dtype)
     out = img + b_eff + jax.lax.conv_general_dilated(
         img, k_eff, (1, 1), ((3, 3), (3, 3)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -153,3 +153,64 @@ def test_pad_aware_landmark_means_match_padded():
         np.testing.assert_allclose(np.asarray(a),
                                    np.asarray(b_[:, :, pad:]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_tiny_sequence_fwd_bwd():
+    """Sequences shorter than the conv half-width (n <= K//2) must still
+    train: the dkern tap loop skips taps with no g/v overlap (their gradient
+    is exactly zero) instead of tracing negative-size slices. Regression for
+    the pad-free pipeline, which feeds the kernel UNPADDED n (a slide with
+    <= 9 patches gives seq = 3*3 + 1 = 10 < K//2 = 16 at the production
+    K=33)."""
+    for n in (10, 16, 17, 33):
+        q, k_l, w, v, kern = _inputs(jax.random.PRNGKey(9), b=1, h=2, n=n,
+                                     m=8, d=16, K=33)
+
+        def loss_fused(*a):
+            return jnp.sum(fused_softmax_attn_conv(*a) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(_ref(*a) ** 2)
+
+        out = fused_softmax_attn_conv(q, k_l, w, v, kern)
+        ref = _ref(q, k_l, w, v, kern)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"value mismatch at n={n}")
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k_l, w, v, kern)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k_l, w, v, kern)
+        for name, a, b in zip("q k_l w v kern".split(), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-3,
+                err_msg=f"grad mismatch for {name} at n={n}",
+            )
+
+
+def test_tiny_slide_module_backward():
+    """End-to-end jax.grad through NystromAttention(use_pallas=True,
+    residual=True) on a 10-token slide — the exact crash shape from the
+    round-3 review (negative-size dslice at trace time)."""
+    from mirror_tpu.models.nystrom import NystromAttention
+
+    b, n, dim = 1, 10, 64
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, n, dim))
+    kw = dict(dim=dim, dim_head=8, heads=8, num_landmarks=32,
+              pinv_iterations=6, residual=True, dropout=0.0)
+    m_pal = NystromAttention(**kw, use_pallas=True)
+    m_dense = NystromAttention(**kw, use_pallas=False)
+    params = m_dense.init(jax.random.PRNGKey(11), x)
+
+    def loss(fn, p):
+        return jnp.sum(fn.apply(p, x) ** 2)
+
+    gp = jax.grad(lambda p: loss(m_pal, p))(params)
+    gd = jax.grad(lambda p: loss(m_dense, p))(params)
+    # same param tree on both sides -> identical leaf order
+    for (kp_, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(gp),
+        jax.tree_util.tree_leaves_with_path(gd),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+            err_msg=f"module grad mismatch at {jax.tree_util.keystr(kp_)}",
+        )
