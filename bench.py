@@ -44,8 +44,12 @@ def selftest():
     bench runs. This compiles ONE NystromAttention fwd+bwd per gradient mode
     at the flagship TransMIL shapes (dim=512, heads=8, dh=64, m=256 landmarks,
     2048 wsi tokens -> 46x46+1 = 2117 seq -> front-padded 2304), which drives
-    landmark_pallas, pinv_pallas (exact AND implicit VJPs), nystrom_pallas
-    (both matmul kernels), and conv1d_pallas, then asserts finiteness.
+    landmark_pallas, pinv_pallas (exact AND implicit VJPs), and
+    nystrom_pallas (incl. the conv-fused attention kernel that carries the
+    residual conv), then asserts finiteness. The standalone conv1d_pallas
+    kernels (still the public depthwise_conv1d_seq API) no longer run
+    inside the model, so they get their own fwd+bwd compile check below
+    ("conv_standalone").
 
     b=8 keeps it quick: the Pallas grids iterate over (b*h) programs, so the
     per-program VMEM block shapes — what actually OOMs — are b-independent.
@@ -93,6 +97,24 @@ def selftest():
     results["ppeg_fused"] = all(
         bool(jnp.all(jnp.isfinite(l)))
         for l in [pval] + list(jax.tree.leaves(pgrads))
+    )
+    # the standalone banded-conv kernels: superseded in the model by the
+    # conv-fused attention kernel but still exported (depthwise_conv1d_seq)
+    # — compile the gb=8 batch-grouped fwd+bwd at the production band shape
+    from mirror_tpu.ops.conv1d_pallas import depthwise_conv1d_seq
+
+    v = jax.random.normal(key, (8, 8, 2117, 96), jnp.bfloat16)
+    ckern = 0.1 * jax.random.normal(key, (8, 33), jnp.float32)
+
+    def conv_loss(v, ckern):
+        return jnp.sum(depthwise_conv1d_seq(v, ckern).astype(jnp.float32))
+
+    cval, cgrads = jax.jit(jax.value_and_grad(conv_loss, argnums=(0, 1)))(
+        v, ckern
+    )
+    results["conv_standalone"] = all(
+        bool(jnp.all(jnp.isfinite(l)))
+        for l in [cval] + list(jax.tree.leaves(cgrads))
     )
     ok = all(results.values())
     print(json.dumps({

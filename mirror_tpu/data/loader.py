@@ -26,6 +26,8 @@ from typing import Dict, Iterator
 
 import numpy as np
 
+from mirror_tpu.parallel.distributed import local_block
+
 
 def class_balanced_weights(dataset) -> np.ndarray:
     labels = np.asarray([dataset.get_label(i) for i in range(len(dataset))])
@@ -197,11 +199,10 @@ class Loader:
                 [np.ones(n_valid, np.float32),
                  np.zeros(len(idx) - n_valid, np.float32)]
             )
-            # blocked per-process slice (parallel/distributed.local_block):
-            # concatenating blocks in process order == the global batch
-            lbs = len(idx) // pc
-            sl = slice(p * lbs, (p + 1) * lbs)
-            chunks.append((idx[sl], seeds[sl], valid[sl]))
+            # blocked per-process slice: concatenating blocks in process
+            # order == the global batch (single source of the layout rule)
+            chunks.append(tuple(local_block(a, p, pc)
+                                for a in (idx, seeds, valid)))
 
         if self.prefetch <= 0:
             for c in chunks:

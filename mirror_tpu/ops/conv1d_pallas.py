@@ -29,7 +29,8 @@ so the design minimizes PASSES over the data:
   [384, 416] @ [416, 768] MXU matmuls.
 
 Layout: v [b, h, n, d] head-major (matching the attention kernels), kern
-[h, K], K odd, n >= K. Zero 'SAME' padding, no bias — the reference conv's
+[h, K], K odd, any n >= 1 (taps with no overlap are skipped — tiny slides
+with n <= K//2 work). Zero 'SAME' padding, no bias — the reference conv's
 exact semantics (torch Conv2d(h, h, (K,1), padding=(K//2,0), groups=h,
 bias=False)).
 """
@@ -41,12 +42,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
+
 ROW_TILE = 384  # divides the Nystrom padded lengths (2688, 2304)
-_VMEM_LIMIT = 64 * 1024 * 1024  # gb=8 blocks overflow the default 16 MB
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _batch_group(b: int) -> int:
@@ -188,7 +186,7 @@ def _fwd_call(v, kern):
         in_specs=[seq_spec, band_spec],
         out_specs=seq_spec,
         interpret=_use_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * n * (ROW_TILE + K - 1) * d,
             bytes_accessed=2 * v.size * v.dtype.itemsize,
@@ -225,7 +223,7 @@ def _bwd_call(v, kern, g):
         out_specs=(seq_spec, dk_spec),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=_use_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE),
     )(g, v, bands_f)
     return dv, dk[:, 0, :K].astype(kern.dtype)
 
@@ -234,7 +232,7 @@ def _bwd_call(v, kern, g):
 def depthwise_conv1d_seq(v, kern):
     """SAME zero-padded depthwise conv along axis 2: out[..., i, :] =
     sum_j kern[h, j] * v[..., i + j - K//2, :]. v: [b, h, n, d]; kern: [h, K]
-    (K odd, n >= K)."""
+    (K odd, any n >= 1)."""
     return _fwd_call(v, kern)
 
 

@@ -26,17 +26,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
+
 from mirror_tpu.ops.conv1d_pallas import (
     _band_tiles_xla,
     _tile_rows,
     _window,
     ROW_TILE,
-    _VMEM_LIMIT,
 )
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _softmax_pad(sim, pad):
@@ -304,7 +301,7 @@ def _fwd_conv_call(q, k_l, w, v, kern, pad=0):
         in_specs=[qs, ks, ks, qs, band_spec],
         out_specs=qs,
         interpret=_use_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * n * m * d
             + 2 * b * h * n * (ROW_TILE + K - 1) * d,
@@ -341,7 +338,7 @@ def _bwd_conv_call(q, k_l, w, v, kern, g, pad=0):
         out_specs=(qs, ks, ks, qs, dkern_spec),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=_use_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE),
     )(q, k_l, w, v, bands_f, g)
     return dq, dkl, dw, dv, dkern[:, 0, :K].astype(kern.dtype)
 

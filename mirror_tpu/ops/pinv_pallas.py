@@ -27,9 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from mirror_tpu.ops._common import use_interpret as _use_interpret
 
 
 def _dot(a, b):

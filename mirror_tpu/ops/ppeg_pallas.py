@@ -35,12 +35,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
+
 K = 7  # merged pyramid kernel size (7x7 holds 7/5/3)
-_VMEM_LIMIT = 64 * 1024 * 1024
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _cblk(C: int) -> int:
@@ -116,7 +113,7 @@ def _fwd_call(img, kern, bias):
         in_specs=[img_spec, k_spec, b_spec],
         out_specs=img_spec,
         interpret=_use_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE),
     )(img, k_pad, b_pad)
 
 
@@ -148,7 +145,7 @@ def _bwd_call(img, kern, g):
             pltpu.VMEM((8, cb), jnp.float32),
         ],
         interpret=_use_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE),
     )(g, img, kf_pad)
     return dimg, dk[:K * K].reshape(K, K, C).astype(kern.dtype), \
         db[0].astype(kern.dtype)

@@ -30,9 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
 
 
 def _kernel(heads: int, dh: int, scale: float, q_ref, k_ref, v_ref, o_ref):
@@ -165,7 +163,7 @@ def attn_block(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo, heads: int,
         compiler_params=pltpu.CompilerParams(
             # the fp32 path's resident weights + streams exceed the default
             # 16 MB scoped window (e.g. fp32 w1+w2 alone are 18.9 MB)
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_WIDE,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d * 4 * d + 4 * b * heads * n * n * dh,
@@ -227,7 +225,7 @@ def mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, eps: float = 1e-12) -> jax.Array:
         out_specs=xs,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_WIDE,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * d * m,

@@ -270,7 +270,8 @@ def import_checkpoint(
             meta.update(
                 epoch=int(payload.get("epoch", 0) or 0),
                 arch=str(payload.get("arch", "") or "mirror"),
-                metric=float(payload.get("metric") or -1.0),
+                metric=(-1.0 if payload.get("metric") is None
+                        else float(payload["metric"])),
                 args=_args_text(payload.get("args")),
                 src_version=payload.get("version"),
             )
