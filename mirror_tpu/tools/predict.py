@@ -131,6 +131,12 @@ def predict(
 
         mesh = create_mesh()
         ws_dtype = getattr(model, "dtype", None) or jnp.float32
+        # jit caches one compiled program per distinct patch count; without
+        # it the encoder runs op-by-op (each dispatch pays the host<->device
+        # round-trip, minutes per slide on a remote-tunnel chip)
+        encode_cp = jax.jit(
+            lambda p, toks: transmil_encode_cp(p, toks, mesh, dtype=ws_dtype)
+        )
         fwd = jax.jit(
             lambda p, wsi_cls, rna: model.apply(
                 {"params": p}, wsi_cls, rna, True,
@@ -156,10 +162,7 @@ def predict(
                 # slide, keep the cls row. Distinct patch counts compile
                 # distinct programs (static shapes) — bucket-free by design
                 # so the math matches the dense encoder exactly.
-                seq = transmil_encode_cp(
-                    params["wsi_encoder"], jnp.asarray(feats), mesh,
-                    dtype=ws_dtype,
-                )
+                seq = encode_cp(params["wsi_encoder"], jnp.asarray(feats))
                 wsi.append(np.asarray(seq[0], np.float32))
             else:
                 idx = rng.choice(

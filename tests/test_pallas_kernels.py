@@ -103,3 +103,42 @@ def test_checkpoint_portable_across_backends():
         np.asarray(out_p.wsi_alignment_emb), np.asarray(out_d.wsi_alignment_emb),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_feature_transmil_tiny_slide_grad_parity():
+    """Full FeatureTransMIL fwd+bwd on a 9-patch slide, pallas vs dense.
+
+    The pad-free pipeline hands the attention kernels the UNPADDED sequence
+    length, so a slide with <= 9 patches (seq 3*3 + 1 = 10) exercises the
+    n <= K//2 tap-skip path of the conv-fused backward through the real
+    model — both gradient modes."""
+    from mirror_tpu.models.transmil import FeatureTransMIL
+
+    x = jnp.array(
+        np.random.default_rng(5).normal(size=(2, 9, 16)).astype(np.float32)
+    )
+    dense = FeatureTransMIL(input_dim=16, embed_dim=32, use_pallas=False)
+    params = dense.init(jax.random.PRNGKey(3), x)
+
+    def loss(mod, p):
+        return jnp.sum(mod.apply(p, x) ** 2)
+
+    gd = jax.grad(lambda p: loss(dense, p))(params)
+    for mode in ("exact", "implicit"):
+        pallas = FeatureTransMIL(
+            input_dim=16, embed_dim=32, use_pallas=True, pinv_grad=mode
+        )
+        out_d = np.asarray(dense.apply(params, x))
+        out_p = np.asarray(pallas.apply(params, x))
+        np.testing.assert_allclose(out_p, out_d, rtol=1e-4, atol=1e-4)
+        if mode == "implicit":
+            continue  # implicit's gradient deviates by design (PARITY.md)
+        gp = jax.grad(lambda p: loss(pallas, p))(params)
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gd),
+            jax.tree_util.tree_leaves_with_path(gp),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}",
+            )
