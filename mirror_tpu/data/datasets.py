@@ -332,6 +332,11 @@ class SurvivalDataset(_BaseDataset):
         self.survival_data = self.survival_data.drop_duplicates(
             subset=self.case_id_column, keep="first"
         )
+        # deliberately asymmetric truncation (parity with ref
+        # dataset_survival.py:116-118): WSI ids are cut to the 15-char TCGA
+        # sample barcode but the survival "Sample ID" column is NOT — the
+        # reference assumes that column already holds 15-char barcodes, and
+        # longer ids silently fail to intersect there too
         wsi_ids = {f.split(".")[0][:15] for f in self.wsi_feature_files}
         surv_ids = {
             s.split(".")[0]
@@ -440,11 +445,12 @@ class SurvivalDataset(_BaseDataset):
 
     def _surv_row(self, slide: str) -> dict:
         rows = self._surv_cache.get(slide[:15], [])
-        assert len(rows) == 1, (
-            f"{'Multiple' if rows else 'No'} survival records for slide "
-            f"{slide} (matched on the 15-char Sample ID prefix "
-            f"{slide[:15]!r}; check the survival CSV's id format)"
-        )
+        if len(rows) != 1:  # real check: assert vanishes under python -O
+            raise ValueError(
+                f"{'Multiple' if rows else 'No'} survival records for slide "
+                f"{slide} (matched on the 15-char Sample ID prefix "
+                f"{slide[:15]!r}; check the survival CSV's id format)"
+            )
         return rows[0]
 
     def _meta(self, slide: str) -> dict:

@@ -64,6 +64,8 @@ def decode_patch(path: str, size: int = 224) -> np.ndarray:
     import cv2
 
     img = cv2.imread(path)  # BGR
+    if img is None:  # cv2 signals unreadable files by returning None
+        raise ValueError(f"unreadable patch image: {path}")
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if img.shape[:2] != (size, size):
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
@@ -84,19 +86,29 @@ def batched_patch_stream(
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     sentinel = object()
+    error = []
 
     def producer():
-        with ThreadPoolExecutor(max_workers=num_threads) as pool:
-            for i in range(0, len(patch_files), batch_size):
-                chunk = patch_files[i : i + batch_size]
-                imgs = list(pool.map(lambda f: decode_patch(f, size), chunk))
-                arr = np.stack(imgs)
-                n_valid = len(chunk)
-                if n_valid < batch_size:
-                    pad = np.repeat(arr[-1:], batch_size - n_valid, axis=0)
-                    arr = np.concatenate([arr, pad])
-                q.put((arr, n_valid))
-        q.put(sentinel)
+        # forward decode errors and ALWAYS deliver the sentinel (same
+        # contract as data/loader.py's prefetch thread) — without the
+        # finally, one corrupt patch JPEG kills this thread before the
+        # sentinel and the consumer blocks on q.get() forever
+        try:
+            with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                for i in range(0, len(patch_files), batch_size):
+                    chunk = patch_files[i : i + batch_size]
+                    imgs = list(pool.map(lambda f: decode_patch(f, size),
+                                         chunk))
+                    arr = np.stack(imgs)
+                    n_valid = len(chunk)
+                    if n_valid < batch_size:
+                        pad = np.repeat(arr[-1:], batch_size - n_valid, axis=0)
+                        arr = np.concatenate([arr, pad])
+                    q.put((arr, n_valid))
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -106,6 +118,8 @@ def batched_patch_stream(
             break
         yield item
     t.join()
+    if error:
+        raise error[0]
 
 
 def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat16",

@@ -109,9 +109,11 @@ def predict(
             "training time) — pass --rna-feature-csv"
         )
 
+    from mirror_tpu.data.formats import _FEATURE_EXTS
+
     files = sorted(
         f for f in glob.glob(os.path.join(wsi_feature_dir, "*"))
-        if f.endswith((".npy", ".pt"))
+        if f.endswith(_FEATURE_EXTS)
     )
     if rna_df is not None:
         kept = [f for f in files

@@ -45,7 +45,6 @@ def update_summary(
     train_metrics: Dict[str, float],
     eval_metrics: Optional[Dict[str, float]],
     filename: str,
-    write_header: bool = False,
 ) -> None:
     rowd = OrderedDict(epoch=epoch)
     rowd.update([("train_" + k, v) for k, v in train_metrics.items()])
@@ -53,6 +52,13 @@ def update_summary(
         rowd.update([("eval_" + k, v) for k, v in eval_metrics.items()])
     import csv
 
+    # header iff the file is new/empty — a resume into an existing run dir
+    # must APPEND, not inject a second header mid-file (a stray string row
+    # flips the metric columns to object dtype and breaks
+    # tools/aggregate_results' idxmax)
+    write_header = (
+        not os.path.exists(filename) or os.path.getsize(filename) == 0
+    )
     with open(filename, mode="a") as cf:
         dw = csv.DictWriter(cf, fieldnames=rowd.keys())
         if write_header:
@@ -161,7 +167,6 @@ class TrainHarness:
         self.train_loader.set_epoch(epoch)
         num_batches = len(self.train_loader)
         end = time.time()
-        first_metrics = None
         # Exact epoch means without host syncs: every step's metric dict is
         # summed into a device-side accumulator by a tiny jitted add (async
         # dispatch, no pull), read back ONCE at epoch end. The reference
@@ -209,8 +214,6 @@ class TrainHarness:
                 samples_m.update(bs / max(dt, 1e-9))
                 for k, v in metrics.items():
                     meters.setdefault(k, AverageMeter()).update(v, bs)
-                if first_metrics is None:
-                    first_metrics = metrics
                 _logger.info(
                     "Train: %d [%4d/%d] Loss: %.4g (%.4g)  %s %.1f samples/s",
                     epoch, batch_idx, num_batches,
@@ -341,7 +344,6 @@ class TrainHarness:
             if summary_path:
                 update_summary(
                     epoch, train_metrics, eval_metrics, summary_path,
-                    write_header=epoch == start_epoch,
                 )
             if wandb_run is not None:
                 payload = {f"train_{k}": v for k, v in train_metrics.items()}

@@ -267,7 +267,27 @@ def make_optimizer(
     opt_name = args.opt.lower()
     eps = args.opt_eps if args.opt_eps is not None else 1e-8
     betas = tuple(args.opt_betas) if args.opt_betas else (0.9, 0.999)
+    momentum = getattr(args, "momentum", 0.9)
+    # --opt-kwargs: the reference forwards these straight to the torch
+    # optimizer ctor (ref train_mirror.py:742-746 create_optimizer_v2(...,
+    # **args.opt_kwargs)). Map the ctor kwargs the optax chains support and
+    # REJECT anything else — silently ignoring a requested knob would make
+    # the run differ from its config.
     opt_kwargs: Dict[str, Any] = dict(getattr(args, "opt_kwargs", {}) or {})
+    if "eps" in opt_kwargs:
+        eps = float(opt_kwargs.pop("eps"))
+    if "betas" in opt_kwargs:
+        betas = tuple(opt_kwargs.pop("betas"))
+    if "momentum" in opt_kwargs:
+        momentum = float(opt_kwargs.pop("momentum"))
+    rms_alpha = float(opt_kwargs.pop("alpha", 0.9))  # torch RMSprop smoothing
+    amsgrad = bool(opt_kwargs.pop("amsgrad", False))
+    if opt_kwargs:
+        raise ValueError(
+            f"--opt-kwargs keys not supported by the optax '{opt_name}' "
+            f"chain: {sorted(opt_kwargs)} (supported: eps, betas, momentum, "
+            "alpha, amsgrad)"
+        )
 
     chain = []
     if args.clip_grad is not None:
@@ -287,9 +307,11 @@ def make_optimizer(
             chain.append(
                 optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask)
             )
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        _adam = optax.scale_by_amsgrad if amsgrad else optax.scale_by_adam
+        chain.append(_adam(b1=betas[0], b2=betas[1], eps=eps))
     elif opt_name in ("adamw",):
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        _adam = optax.scale_by_amsgrad if amsgrad else optax.scale_by_adam
+        chain.append(_adam(b1=betas[0], b2=betas[1], eps=eps))
         chain.append(optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask))
     elif opt_name in ("sgd", "momentum", "nesterov"):
         if args.weight_decay:
@@ -297,7 +319,7 @@ def make_optimizer(
                 optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask)
             )
         nesterov = opt_name != "momentum"
-        chain.append(optax.trace(decay=args.momentum, nesterov=nesterov))
+        chain.append(optax.trace(decay=momentum, nesterov=nesterov))
     elif opt_name == "lamb":
         # composed from optax.lamb's internals (scale_by_adam ->
         # add_decayed_weights -> scale_by_trust_ratio) so it flows through
@@ -318,12 +340,19 @@ def make_optimizer(
             )
         chain.append(optax.scale_by_rss(initial_accumulator_value=0.0, eps=eps))
     elif opt_name == "rmsprop":
-        # torch RMSprop also couples decay into the grad before scaling
+        # torch RMSprop also couples decay into the grad before scaling.
+        # timm's create_optimizer_v2 builds RMSprop(alpha=0.9,
+        # momentum=args.momentum): eps is added OUTSIDE the sqrt
+        # (eps_in_sqrt=False) and the momentum buffer accumulates the
+        # rms-scaled update (trace AFTER scale_by_rms).
         if args.weight_decay:
             chain.append(
                 optax.add_decayed_weights(args.weight_decay, mask=_no_decay_mask)
             )
-        chain.append(optax.scale_by_rms(decay=0.9, eps=eps))
+        chain.append(optax.scale_by_rms(decay=rms_alpha, eps=eps,
+                                        eps_in_sqrt=False))
+        if momentum:
+            chain.append(optax.trace(decay=momentum, nesterov=False))
     else:
         raise ValueError(f"Unsupported optimizer: {args.opt}")
 

@@ -101,3 +101,25 @@ def test_cindex_event_time_ties_not_comparable():
     risk = np.array([2.0, 1.0])
     with pytest.raises(ValueError):
         concordance_index_censored(event, time, risk)
+
+
+def test_update_summary_single_header_across_resume(tmp_path):
+    """Appending into an existing summary.csv (a --resume into the same run
+    dir) must NOT write a second header row mid-file — a stray string row
+    flips metric columns to object dtype and breaks aggregate_results."""
+    import pandas as pd
+
+    from mirror_tpu.train.harness import update_summary
+
+    path = str(tmp_path / "summary.csv")
+    update_summary(0, {"loss": 1.0}, {"acc": 50.0}, path)
+    update_summary(1, {"loss": 0.9}, {"acc": 55.0}, path)
+    # simulate a fresh process resuming into the same run dir
+    update_summary(2, {"loss": 0.8}, {"acc": 60.0}, path)
+
+    with open(path) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 4  # one header + three rows
+    df = pd.read_csv(path)
+    assert df["eval_acc"].dtype.kind == "f"
+    assert df["epoch"].tolist() == [0, 1, 2]

@@ -268,3 +268,99 @@ def test_lamb_flows_through_shared_chain():
     updates, state = tx.update(g, state, params)
     assert float(jnp.abs(updates["w"]).max()) > 0.0
     assert bool(jnp.isfinite(updates["w"]).all())
+
+
+def test_rmsprop_matches_torch_with_momentum():
+    """opt=rmsprop must reproduce timm's torch.optim.RMSprop construction
+    (alpha=0.9, momentum=args.momentum, eps OUTSIDE the sqrt) — the
+    reference builds it via create_optimizer_v2 (ref train_mirror.py:742)."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from mirror_tpu.train.optim import make_optimizer, make_schedule
+
+    class A:
+        opt = "rmsprop"
+        opt_eps = None
+        opt_betas = None
+        momentum = 0.9
+        weight_decay = 0.05
+        clip_grad = None
+        clip_mode = "norm"
+        opt_kwargs = {}
+        use_sched = False
+        grad_accum_steps = 1
+
+    lr = 1e-2
+    rng = np.random.default_rng(3)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads_seq = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(5)]
+
+    wt = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.RMSprop(
+        [wt], lr=lr, alpha=0.9, eps=1e-8, momentum=0.9, weight_decay=0.05
+    )
+    for g in grads_seq:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        opt.step()
+
+    tx = make_optimizer(A, make_schedule(A, 1, lr))
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_opt_kwargs_consumed_or_rejected():
+    """--opt-kwargs must actually reach the optimizer (the reference
+    forwards them to the torch ctor) — eps/betas apply, unknown keys raise
+    instead of being silently dropped."""
+    import numpy as np
+    import pytest
+
+    import jax.numpy as jnp
+    from mirror_tpu.train.optim import make_optimizer, make_schedule
+
+    class A:
+        opt = "adam"
+        opt_eps = None
+        opt_betas = None
+        momentum = 0.9
+        weight_decay = 0.0
+        clip_grad = None
+        clip_mode = "norm"
+        opt_kwargs = {"eps": 1.0}
+        use_sched = False
+        grad_accum_steps = 1
+
+    # a huge eps visibly damps the first step vs the default
+    params = {"w": jnp.ones((2, 2))}
+    g = {"w": jnp.full((2, 2), 0.5)}
+
+    def first_step(a):
+        tx = make_optimizer(a, make_schedule(a, 1, 1e-2))
+        st = tx.init(params)
+        up, _ = tx.update(g, st, params)
+        return np.asarray(up["w"])
+
+    damped = first_step(A)
+
+    class B(A):
+        opt_kwargs = {}
+
+    default = first_step(B)
+    assert np.all(np.abs(damped) < np.abs(default) * 0.5)
+
+    class C(A):
+        opt_kwargs = {"fuser_mode": True}
+
+    with pytest.raises(ValueError, match="opt-kwargs"):
+        make_optimizer(C, make_schedule(C, 1, 1e-2))

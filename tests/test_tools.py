@@ -275,3 +275,23 @@ def test_vit_int8_features_match_bf16():
         jnp.linalg.norm(f_ref, axis=-1) * jnp.linalg.norm(f_q, axis=-1)
     )
     assert float(cos.min()) > 0.995, cos
+
+
+def test_patch_stream_propagates_decode_errors(tmp_path):
+    """A corrupt patch file must FAIL the stream, not hang it: the producer
+    thread forwards the exception and always delivers its sentinel."""
+    import numpy as np
+    import pytest
+
+    from mirror_tpu.tools.gen_patch_feature import batched_patch_stream
+
+    import cv2
+
+    good = str(tmp_path / "ok.jpg")
+    cv2.imwrite(good, np.zeros((224, 224, 3), np.uint8))
+    bad = str(tmp_path / "corrupt.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg")
+
+    with pytest.raises(ValueError, match="unreadable patch image"):
+        list(batched_patch_stream([good, bad], batch_size=2))
