@@ -184,13 +184,23 @@ def mirror_loss(
     # (ref :98-100).
     wsi_ret = jnp.mean((wsi_retention_emb - wsi_retention_target) ** 2, axis=-1)
     wsi_tok_mask = wsi_mask if row_w is None else wsi_mask * row_w[:, None]
-    wsi_retention_loss = jnp.sum(wsi_ret * wsi_tok_mask) / jnp.sum(wsi_tok_mask)
+    wsi_denom = jnp.sum(wsi_tok_mask)
 
     # RNA retention: elementwise MSE * mask / mask.sum — NO feature mean; this
     # reference quirk (ref :102-103) is reproduced deliberately.
     rna_ret = (rna_retention_emb - rna_retention_target) ** 2
     rna_tok_mask = rna_mask if row_w is None else rna_mask * row_w[:, None]
-    rna_retention_loss = jnp.sum(rna_ret * rna_tok_mask) / jnp.sum(rna_tok_mask)
+    rna_denom = jnp.sum(rna_tok_mask)
+
+    if row_w is not None:
+        # the valid-mask path is a TPU-only extension (padded eval tails):
+        # guard its 0-valid 0/0 like the style/cluster terms' n_valid. The
+        # plain path keeps the reference's NaN on an all-zero mask
+        # (mask_ratio=0 misconfiguration) — a loud signal, parity-faithful.
+        wsi_denom = jnp.maximum(wsi_denom, 1.0)
+        rna_denom = jnp.maximum(rna_denom, 1.0)
+    wsi_retention_loss = jnp.sum(wsi_ret * wsi_tok_mask) / wsi_denom
+    rna_retention_loss = jnp.sum(rna_ret * rna_tok_mask) / rna_denom
 
     # Closed-form KL(N(mu, sigma) || N(0, 1)) summed over latent dims, batch
     # mean, averaged over the two modalities (ref :105-112).

@@ -300,7 +300,11 @@ def load_hf_vit_weights(params: Dict, hf_state: Dict[str, Any]) -> Dict:
         emb + "patch_embeddings.projection.weight"
     ).transpose(2, 3, 1, 0)
     p["patch_embed"]["bias"] = g(emb + "patch_embeddings.projection.bias")
-    for i in range(12):
+    # derive the block count from the param tree (not a hard-coded 12):
+    # depth != 12 either converts fully or fails loudly below on a missing
+    # HF key instead of silently leaving blocks at random init
+    depth = sum(1 for k in p if k.startswith("block_"))
+    for i in range(depth):
         hb = f"encoder.layer.{i}."
         blk = p[f"block_{i}"]
         for ours, theirs in (

@@ -123,13 +123,12 @@ class TransFormer(nn.Module):
 def random_scalar_masking(
     key: jax.Array, batch: int, num_features: int, mask_ratio: float
 ) -> jax.Array:
-    """Scalar-level MAE masking over the embedding features (ref :510-533).
-    Returns mask [B, N] with 1 == masked (same double-argsort ranking)."""
-    len_keep = int(num_features * (1 - mask_ratio))
-    noise = jax.random.uniform(key, (batch, num_features))
-    ids_shuffle = jnp.argsort(noise, axis=1)
-    ranks = jnp.argsort(ids_shuffle, axis=1)
-    return (ranks >= len_keep).astype(jnp.float32)
+    """Scalar-level MAE masking over the embedding features (ref :510-533):
+    the same double-argsort ranking as the WSI token mask, so it IS that
+    function — one implementation of the algorithm (transmil.py holds it)."""
+    from mirror_tpu.models.transmil import random_token_masking
+
+    return random_token_masking(key, batch, num_features, mask_ratio)
 
 
 class TransFormerHybrid(TransFormer):

@@ -255,7 +255,6 @@ def transmil_encode_cp(
     fc1_b = params["fc1"]["bias"].astype(dtype)
     d = fc1_k.shape[1]
     m = d // 2
-    p_size = mesh.shape[axis_name]
 
     h = jax.nn.relu(tokens.astype(dtype) @ fc1_k + fc1_b)
     n = h.shape[0]
