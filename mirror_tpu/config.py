@@ -120,6 +120,15 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--lr-base", type=float, default=0.1)
     g.add_argument("--lr-base-size", type=int, default=256)
     g.add_argument("--lr-base-scale", type=str, default="")
+    g.add_argument("--lr-noise", type=float, nargs="+", default=None,
+                   help="lr noise on/off epoch fractions (timm: scaled by "
+                        "epochs; 1 value = from there on, 2 = window)")
+    g.add_argument("--lr-noise-pct", type=float, default=0.67)
+    g.add_argument("--lr-noise-std", type=float, default=1.0)
+    g.add_argument("--lr-cycle-mul", type=float, default=1.0)
+    g.add_argument("--lr-cycle-decay", type=float, default=0.5)
+    g.add_argument("--lr-cycle-limit", type=int, default=1)
+    g.add_argument("--lr-k-decay", type=float, default=1.0)
     g.add_argument("--min-lr", type=float, default=0.0)
     g.add_argument("--warmup-lr", type=float, default=1e-5)
     g.add_argument("--epochs", type=int, default=100)
@@ -207,12 +216,13 @@ def build_parser(task: str) -> argparse.ArgumentParser:
 
 
 # Reference-surface keys that have no TPU meaning; accepted + dropped.
+# epoch_repeats is argparse-only in the reference too (never consumed — the
+# map-style datasets bypass timm's create_dataset); in_chans is a timm image
+# arg the mirror models kwarg-filter away.
 _IGNORED_KEYS = {
     "fuser", "torchscript", "torchcompile", "fast_norm", "amp_impl", "no_ddp_bb",
     "local_rank", "device_modules", "sync_bn", "dist_bn", "pin_mem",
     "model_ema_force_cpu", "worker_seeding", "epoch_repeats", "in_chans",
-    "lr_noise", "lr_noise_pct", "lr_noise_std", "lr_cycle_mul",
-    "lr_cycle_decay", "lr_cycle_limit", "lr_k_decay",
 }
 
 

@@ -108,6 +108,10 @@ class PlateauController:
         min_lr: float = 0.0,
         mode: str = "min",
         threshold: float = 1e-4,
+        noise_range=None,
+        noise_pct: float = 0.67,
+        noise_std: float = 1.0,
+        noise_seed: int = 42,
     ) -> None:
         self.base_lr = base_lr
         self.decay_rate = decay_rate
@@ -118,6 +122,10 @@ class PlateauController:
         self.min_lr = min_lr
         self.mode = mode
         self.threshold = threshold
+        self.noise_range = noise_range
+        self.noise_pct = noise_pct
+        self.noise_std = noise_std
+        self.noise_seed = noise_seed
         self.current_lr = warmup_lr if warmup_epochs > 0 else base_lr
         self.best: float | None = None
         self.num_bad_epochs = 0
@@ -134,11 +142,11 @@ class PlateauController:
         if epoch < self.warmup_epochs:
             t = (epoch + 1) / max(self.warmup_epochs, 1)
             self.current_lr = self.warmup_lr + t * (self.base_lr - self.warmup_lr)
-            return self.current_lr
+            return self._with_noise(epoch, self.current_lr)
         if epoch == self.warmup_epochs:
             self.current_lr = self.base_lr
         if metric is None:
-            return self.current_lr
+            return self._with_noise(epoch, self.current_lr)
         # torch ReduceLROnPlateau order: best/num_bad update first, then the
         # cooldown counter ticks down EVERY epoch while in cooldown (not just
         # on non-improving ones), suppressing bad-epoch counting meanwhile
@@ -154,7 +162,16 @@ class PlateauController:
             self.current_lr = max(self.current_lr * self.decay_rate, self.min_lr)
             self.cooldown_counter = self.cooldown
             self.num_bad_epochs = 0
-        return self.current_lr
+        return self._with_noise(epoch, self.current_lr)
+
+    def _with_noise(self, epoch: int, lr: float) -> float:
+        """timm PlateauLRScheduler._apply_noise: the APPLIED lr is perturbed,
+        the internal plateau state stays noise-free (timm restores the clean
+        lr before the next plateau decision)."""
+        if not _noise_applies(self.noise_range, epoch):
+            return lr
+        return lr * (1.0 + _timm_noise(epoch, self.noise_seed,
+                                       self.noise_pct, self.noise_std))
 
     def step_epoch(self, state, epoch: int, metric: float | None):
         lr = self.epoch_lr(epoch, metric)
@@ -178,79 +195,212 @@ class PlateauController:
             warmup_lr=args.warmup_lr,
             min_lr=args.min_lr,
             mode="min" if decreasing_metric else "max",
+            noise_range=_noise_range_t(args, float(args.epochs)),
+            noise_pct=getattr(args, "lr_noise_pct", 0.67),
+            noise_std=getattr(args, "lr_noise_std", 1.0),
+            noise_seed=getattr(args, "seed", 42),
         )
 
 
+def _timm_noise(t: int, seed: int, pct: float, std: float) -> float:
+    """timm Scheduler._calculate_noise: torch.Generator seeded with seed+t,
+    normal noise resampled until |x| < noise_pct (bit-exact reproduction —
+    torch-cpu is installed; ref surface: create_scheduler_v2 noise_args,
+    consumed at /root/reference/train_mirror.py:958-961)."""
+    import torch
+
+    g = torch.Generator()
+    g.manual_seed(seed + t)
+    while True:
+        noise = torch.randn(1, generator=g).item() * std
+        if abs(noise) < pct:
+            return noise
+
+
+def _noise_range_t(args, t_initial: float):
+    """timm create_scheduler_v2: lr_noise fractions scale by t_initial;
+    a 1-element list means 'from here on', 2 elements a half-open window."""
+    lr_noise = getattr(args, "lr_noise", None)
+    if not lr_noise:
+        return None
+    if isinstance(lr_noise, (list, tuple)):
+        rng = [n * t_initial for n in lr_noise]
+        return rng[0] if len(rng) == 1 else (rng[0], rng[1])
+    return lr_noise * t_initial
+
+
+def _noise_applies(noise_range, t: float) -> bool:
+    if noise_range is None:
+        return False
+    if isinstance(noise_range, tuple):
+        return noise_range[0] <= t < noise_range[1]
+    return t >= noise_range
+
+
+def _noise_table(args, t_initial: float, total_t: int):
+    """Per-t multiplicative lr factor (1 + noise), precomputed host-side so
+    the jitted schedule stays a pure table lookup. None when noise is off."""
+    noise_range = _noise_range_t(args, t_initial)
+    if noise_range is None:
+        return None
+    import numpy as np
+
+    pct = getattr(args, "lr_noise_pct", 0.67)
+    std = getattr(args, "lr_noise_std", 1.0)
+    seed = getattr(args, "seed", 42)
+    table = np.ones(max(total_t, 1), np.float32)
+    for t in range(table.shape[0]):
+        if _noise_applies(noise_range, t):
+            table[t] = 1.0 + _timm_noise(t, seed, pct, std)
+    return jnp.asarray(table)
+
+
+def _cycle_span_epochs(epochs: int, mul: float, limit: int) -> int:
+    """timm Scheduler.get_cycle_length(cycle_limit): total epochs covered by
+    `limit` cycles of initial length `epochs` growing by `mul`."""
+    import math
+
+    if mul == 1.0:
+        return epochs * max(limit, 1)
+    return int(math.floor(-epochs * (mul ** max(limit, 1) - 1) / (1 - mul)))
+
+
 def scheduled_epochs(args) -> int:
-    """timm create_scheduler_v2 returns num_epochs = epochs + cooldown_epochs
-    for cycle schedules (cooldown = extra epochs at min lr after the cycle);
-    plateau consumes cooldown internally (ReduceLROnPlateau cooldown)."""
-    if getattr(args, "use_sched", False) and args.sched != "plateau":
-        return args.epochs + getattr(args, "cooldown_epochs", 0)
+    """timm create_scheduler_v2 returns num_epochs = cycle_length +
+    cooldown_epochs for the cycle schedules (cosine/tanh/poly; cooldown =
+    extra epochs at min lr after the last cycle); step/multistep run exactly
+    --epochs; plateau consumes cooldown internally (ReduceLROnPlateau)."""
+    if getattr(args, "use_sched", False) and args.sched in ("cosine", "tanh", "poly"):
+        span = _cycle_span_epochs(
+            args.epochs,
+            getattr(args, "lr_cycle_mul", 1.0),
+            getattr(args, "lr_cycle_limit", 1),
+        )
+        return span + getattr(args, "cooldown_epochs", 0)
     return args.epochs
 
 
 def make_schedule(
     args, steps_per_epoch: int, base_lr: float
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Returns lr(update_step). When the reference steps per-epoch, the
-    schedule quantizes update_step -> epoch internally."""
+    """Returns lr(update_step) — the full timm create_scheduler_v2 surface
+    (ref /root/reference/train_mirror.py:952-975): cosine/tanh/poly with
+    cycle_mul/cycle_decay/cycle_limit + k_decay, step/multistep, plateau
+    (host-LR, see PlateauController), linear warmup on every schedule,
+    warmup_prefix, and multiplicative lr noise. When the reference steps
+    per-epoch the schedule quantizes update_step -> epoch internally."""
     if not getattr(args, "use_sched", False):
         return lambda step: jnp.asarray(base_lr, jnp.float32)
 
-    on_updates = getattr(args, "sched_on_updates", False)
-    unit = 1 if on_updates else steps_per_epoch
-    warmup_t = args.warmup_epochs * unit if not on_updates else args.warmup_epochs * steps_per_epoch
-    total_t = args.epochs * (steps_per_epoch if on_updates else 1)
-    warmup_lr = args.warmup_lr
-    min_lr = args.min_lr
     sched = args.sched
-
-    def epoch_of(step):
-        t = step if on_updates else step // steps_per_epoch
-        return t
-
-    if sched == "cosine":
-        def fn(step):
-            t = epoch_of(step).astype(jnp.float32)
-            total = float(args.epochs * steps_per_epoch) if on_updates else float(args.epochs)
-            wt = float(args.warmup_epochs * steps_per_epoch) if on_updates else float(args.warmup_epochs)
-            warm = warmup_lr + (base_lr - warmup_lr) * jnp.minimum(t / jnp.maximum(wt, 1e-8), 1.0)
-            if getattr(args, "warmup_prefix", False):
-                t_c = jnp.maximum(t - wt, 0.0)
-                total_c = jnp.maximum(total - wt, 1e-8)
-            else:
-                t_c = t
-                total_c = total
-            cos = min_lr + 0.5 * (base_lr - min_lr) * (
-                1 + jnp.cos(jnp.pi * jnp.minimum(t_c / total_c, 1.0))
-            )
-            return jnp.where(t < wt, warm, cos)
-        return fn
-    if sched == "step":
-        def fn(step):
-            t = epoch_of(step).astype(jnp.float32)
-            de = float(args.decay_epochs) * (steps_per_epoch if on_updates else 1)
-            return jnp.asarray(base_lr, jnp.float32) * (args.decay_rate ** jnp.floor(t / de))
-        return fn
-    if sched == "multistep":
-        milestones = jnp.asarray(
-            [m * (steps_per_epoch if on_updates else 1) for m in args.decay_milestones],
-            jnp.float32,
-        )
-        def fn(step):
-            t = epoch_of(step).astype(jnp.float32)
-            n = jnp.sum(t >= milestones)
-            return jnp.asarray(base_lr, jnp.float32) * (args.decay_rate**n)
-        return fn
     if sched == "plateau":
         # lr lives in the optimizer state (HostLRState), adjusted by the
         # host-side PlateauController; the schedule function is identity so
         # downstream code can still query "a schedule".
         return lambda step: jnp.asarray(base_lr, jnp.float32)
-    raise ValueError(
-        f"Unsupported sched '{sched}' (supported: cosine, step, multistep, plateau)"
-    )
+    if sched not in ("cosine", "tanh", "poly", "step", "multistep"):
+        raise ValueError(
+            f"Unsupported sched '{sched}' (supported: cosine, tanh, poly, "
+            "step, multistep, plateau)"
+        )
+
+    on_updates = getattr(args, "sched_on_updates", False)
+    unit = steps_per_epoch if on_updates else 1
+    t_initial = float(args.epochs * unit)
+    warmup_t = float(args.warmup_epochs * unit)
+    decay_t = float(args.decay_epochs) * unit
+    milestones = jnp.asarray([m * unit for m in args.decay_milestones], jnp.float32)
+    warmup_lr = args.warmup_lr
+    min_lr = args.min_lr
+    decay_rate = args.decay_rate
+    warmup_prefix = getattr(args, "warmup_prefix", False)
+    cycle_mul = float(getattr(args, "lr_cycle_mul", 1.0))
+    cycle_decay = float(getattr(args, "lr_cycle_decay", 0.5))
+    cycle_limit = int(getattr(args, "lr_cycle_limit", 1))
+    k = float(getattr(args, "lr_k_decay", 1.0))
+
+    total_t = int(
+        (
+            _cycle_span_epochs(args.epochs, cycle_mul, cycle_limit)
+            + getattr(args, "cooldown_epochs", 0)
+        )
+        * unit
+    ) + 1
+    noise = _noise_table(args, t_initial, total_t)
+
+    def _cycle(t):
+        """timm cycle decomposition: index i, cycle length t_i, offset t_curr."""
+        if cycle_mul == 1.0:
+            i = jnp.floor(t / t_initial)
+            t_i = jnp.asarray(t_initial, jnp.float32)
+            t_curr = t - i * t_initial
+        else:
+            i = jnp.floor(
+                jnp.log(jnp.maximum(1.0 - t / t_initial * (1.0 - cycle_mul), 1e-12))
+                / jnp.log(cycle_mul)
+            )
+            t_i = cycle_mul**i * t_initial
+            t_curr = t - (1.0 - cycle_mul**i) / (1.0 - cycle_mul) * t_initial
+        return i, t_i, t_curr
+
+    def _cycle_lr(t, shape_fn):
+        """min_lr + (base·cycle_decay^i − min_lr) · shape(t_curr/t_i) inside
+        the first cycle_limit cycles, min_lr afterwards."""
+        i, t_i, t_curr = _cycle(t)
+        lr_max = base_lr * cycle_decay**i
+        val = min_lr + (lr_max - min_lr) * shape_fn(t_curr, t_i)
+        return jnp.where(i < cycle_limit, val, jnp.asarray(min_lr, jnp.float32))
+
+    if sched == "cosine":
+        def base_fn(t):
+            return _cycle_lr(
+                t, lambda tc, ti: 0.5 * (1 + jnp.cos(jnp.pi * tc**k / ti**k))
+            )
+    elif sched == "tanh":
+        # timm TanhLRScheduler defaults lb=-7.0, ub=3.0 (not exposed by
+        # create_scheduler_v2)
+        lb, ub = -7.0, 3.0
+        def base_fn(t):
+            return _cycle_lr(
+                t, lambda tc, ti: 0.5 * (1 - jnp.tanh(lb + (ub - lb) * (tc / ti)))
+            )
+    elif sched == "poly":
+        # timm PolyLRScheduler default power=0.5 (not exposed by the factory)
+        power = 0.5
+        def base_fn(t):
+            return _cycle_lr(
+                t, lambda tc, ti: (1.0 - tc**k / ti**k) ** power
+            )
+    elif sched == "step":
+        def base_fn(t):
+            return jnp.asarray(base_lr, jnp.float32) * (
+                decay_rate ** jnp.floor(t / decay_t)
+            )
+    else:  # multistep
+        def base_fn(t):
+            # timm MultiStepLRScheduler: bisect_right(milestones, t+1) — the
+            # decay lands one epoch EARLY (at t == m-1) because the reference
+            # steps the scheduler with epoch+1 at epoch end; reproduced as-is
+            n = jnp.sum((t + 1.0) >= milestones)
+            return jnp.asarray(base_lr, jnp.float32) * (decay_rate**n)
+
+    cyclic = sched in ("cosine", "tanh", "poly")
+
+    def fn(step):
+        t = (step if on_updates else step // steps_per_epoch).astype(jnp.float32)
+        if cyclic and warmup_prefix:
+            lr = base_fn(jnp.maximum(t - warmup_t, 0.0))
+        else:
+            lr = base_fn(t)
+        if warmup_t > 0:
+            warm = warmup_lr + (base_lr - warmup_lr) * (t / warmup_t)
+            lr = jnp.where(t < warmup_t, warm, lr)
+        if noise is not None:
+            idx = jnp.clip(t.astype(jnp.int32), 0, noise.shape[0] - 1)
+            lr = lr * noise[idx]
+        return lr
+
+    return fn
 
 
 def _no_decay_mask(params) -> Any:

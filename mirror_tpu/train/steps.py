@@ -253,6 +253,7 @@ def make_clip_train_step(
     symmetric: bool = False,
     ema_decay: Optional[float] = None,
     ema_warmup: bool = False,
+    schedule: Optional[Callable] = None,
 ) -> Callable:
     """InfoNCE dual-encoder pretraining (ref train_pretrain.py:1119-1122,
     873-875; expects model(wsi, rna) -> (wsi_emb, rna_emb))."""
@@ -270,7 +271,10 @@ def make_clip_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
-        return new_state, {"loss": loss, **observability_metrics(state.params, grads)}
+        metrics = {"loss": loss, **observability_metrics(state.params, grads)}
+        if schedule is not None:
+            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
+        return new_state, metrics
 
     return train_step
 
@@ -315,6 +319,7 @@ def make_classifier_train_step(
     wsi_only: bool = False,
     ema_decay: Optional[float] = None,
     ema_warmup: bool = False,
+    schedule: Optional[Callable] = None,
 ) -> Callable:
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -328,7 +333,10 @@ def make_classifier_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
-        return new_state, {"loss": loss, **observability_metrics(state.params, grads)}
+        metrics = {"loss": loss, **observability_metrics(state.params, grads)}
+        if schedule is not None:
+            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
+        return new_state, metrics
 
     return train_step
 
@@ -357,6 +365,7 @@ def make_survival_train_step(
     wsi_only: bool = False,
     ema_decay: Optional[float] = None,
     ema_warmup: bool = False,
+    schedule: Optional[Callable] = None,
 ) -> Callable:
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -374,7 +383,10 @@ def make_survival_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
-        return new_state, {"loss": loss, **observability_metrics(state.params, grads)}
+        metrics = {"loss": loss, **observability_metrics(state.params, grads)}
+        if schedule is not None:
+            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
+        return new_state, metrics
 
     return train_step
 

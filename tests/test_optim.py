@@ -64,17 +64,21 @@ def test_cosine_schedule_warmup_and_decay():
 
 
 def test_step_and_multistep_schedules():
+    # timm semantics: warmup (2 epochs here) applies to step/multistep too,
+    # and multistep decays at t == milestone-1 (bisect_right(milestones, t+1))
     a = Args()
     a.use_sched = True
     a.sched = "step"
     sched = make_schedule(a, steps_per_epoch=1, base_lr=1.0)
-    assert float(sched(jnp.int32(0))) == pytest.approx(1.0)
+    assert float(sched(jnp.int32(0))) == pytest.approx(1e-5)
+    assert float(sched(jnp.int32(2))) == pytest.approx(1.0)
     assert float(sched(jnp.int32(3))) == pytest.approx(0.1)
     a2 = Args()
     a2.use_sched = True
     a2.sched = "multistep"
     sched2 = make_schedule(a2, steps_per_epoch=1, base_lr=1.0)
-    assert float(sched2(jnp.int32(3))) == pytest.approx(1.0)
+    assert float(sched2(jnp.int32(2))) == pytest.approx(1.0)
+    assert float(sched2(jnp.int32(3))) == pytest.approx(0.1)
     assert float(sched2(jnp.int32(4))) == pytest.approx(0.1)
     assert float(sched2(jnp.int32(8))) == pytest.approx(0.01)
 

@@ -112,6 +112,7 @@ def main(argv=None):
         model, tx, temperature=args.temperature,
         ema_decay=args.model_ema_decay if args.model_ema else None,
         ema_warmup=args.model_ema_warmup,
+        schedule=schedule,
     )
     eval_step = jax.jit(make_clip_eval_step(model, temperature=args.temperature))
 

@@ -176,6 +176,7 @@ def main(argv=None):
         wsi_only=args.wsi_feature_only,
         ema_decay=args.model_ema_decay if args.model_ema else None,
         ema_warmup=args.model_ema_warmup,
+        schedule=schedule,
     )
     eval_step = jax.jit(make_classifier_eval_step(model, args.wsi_feature_only))
 
