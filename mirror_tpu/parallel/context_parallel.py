@@ -232,6 +232,31 @@ def _ppeg(x, p, side, dtype):
     return jnp.concatenate([cls_t, out.reshape(side * side, c).astype(x.dtype)], axis=0)
 
 
+def wrap_pad_square(tokens):
+    """Host-side TransMIL wrap pad: extend [n, D] raw patch features to the
+    next square count side^2 (side = ceil(sqrt(n))) by repeating the leading
+    rows — the reference's wrap pad (ref models/mirror.py:357-361).
+
+    fc1 is row-wise, so padding RAW tokens computes the same values as the
+    encoder's internal wrap pad of fc1 outputs (equal to float tolerance —
+    XLA tiles the fc1 GEMM by the padded row count). Doing it host-side
+    keys jit caches by ceil(sqrt(n)) instead of raw n: a cohort's
+    whole-slide encode compiles one program per distinct SQUARE (at most
+    ~sqrt(n_max) programs) instead of one per distinct patch count.
+    """
+    import math as _math
+
+    import numpy as _np
+
+    tokens = _np.asarray(tokens)
+    n = tokens.shape[0]
+    side = int(_math.ceil(_math.sqrt(n)))
+    add = side * side - n
+    if add == 0:
+        return tokens
+    return _np.concatenate([tokens, tokens[:add]], axis=0)
+
+
 def transmil_encode_cp(
     params: dict,
     tokens: jax.Array,

@@ -29,7 +29,10 @@ import numpy as np
 
 from mirror_tpu.data.formats import list_feature_files, load_feature_file
 from mirror_tpu.parallel import create_mesh
-from mirror_tpu.parallel.context_parallel import transmil_encode_cp
+from mirror_tpu.parallel.context_parallel import (
+    transmil_encode_cp,
+    wrap_pad_square,
+)
 from mirror_tpu.train.checkpoint import load_checkpoint_file
 
 logging.basicConfig(level=logging.INFO)
@@ -79,7 +82,9 @@ def main(argv=None):
         "encoding %d slides over %d chips (whole-slide, no subsampling)",
         len(files), mesh.devices.size,
     )
-    # one compiled program per distinct token count; cls row is index 0
+    # slides are wrap-padded to their square host-side (the encoder's own
+    # pad hoisted out — same math), so one compiled program serves every
+    # slide with the same ceil(sqrt(n)); cls row is index 0
     encode = jax.jit(
         lambda tokens: transmil_encode_cp(
             params, tokens, mesh, axis_name="data",
@@ -93,7 +98,8 @@ def main(argv=None):
         if args.skip_existing and os.path.exists(out_path):
             continue
         feats = load_feature_file(os.path.join(args.wsi_feature_dir, fname))
-        out = encode(jnp.asarray(feats, jnp.float32))
+        feats = wrap_pad_square(np.asarray(feats, np.float32))
+        out = encode(jnp.asarray(feats))
         out = np.asarray(out, np.float32)
         np.save(out_path, out[0] if args.save == "cls" else out)
         done += 1

@@ -129,13 +129,19 @@ def predict(
     if whole_slide:
         from mirror_tpu.models.classifier import MIRRORClassifier
         from mirror_tpu.parallel import create_mesh
-        from mirror_tpu.parallel.context_parallel import transmil_encode_cp
+        from mirror_tpu.parallel.context_parallel import (
+            transmil_encode_cp,
+            wrap_pad_square,
+        )
 
         mesh = create_mesh()
         ws_dtype = getattr(model, "dtype", None) or jnp.float32
-        # jit caches one compiled program per distinct patch count; without
-        # it the encoder runs op-by-op (each dispatch pays the host<->device
-        # round-trip, minutes per slide on a remote-tunnel chip)
+        # jit caches one compiled program per distinct PADDED token count;
+        # without it the encoder runs op-by-op (each dispatch pays the
+        # host<->device round-trip, minutes per slide on a remote-tunnel
+        # chip). Slides are wrap-padded to their square host-side first, so
+        # the cache is keyed by ceil(sqrt(n)) — same math (the encoder's
+        # own pad hoisted out), far fewer compiles over a cohort.
         encode_cp = jax.jit(
             lambda p, toks: transmil_encode_cp(p, toks, mesh, dtype=ws_dtype)
         )
@@ -161,10 +167,12 @@ def predict(
             feats = np.asarray(load_feature_file(f), np.float32)
             if whole_slide:
                 # encode every patch: one long-sequence CP forward per
-                # slide, keep the cls row. Distinct patch counts compile
-                # distinct programs (static shapes) — bucket-free by design
-                # so the math matches the dense encoder exactly.
-                seq = encode_cp(params["wsi_encoder"], jnp.asarray(feats))
+                # slide, keep the cls row. The host-side square wrap pad is
+                # the encoder's own pad hoisted out (exact), so programs are
+                # shared between slides with the same ceil(sqrt(n)).
+                seq = encode_cp(
+                    params["wsi_encoder"], jnp.asarray(wrap_pad_square(feats))
+                )
                 wsi.append(np.asarray(seq[0], np.float32))
             else:
                 idx = rng.choice(

@@ -154,6 +154,39 @@ def test_whole_slide_encoder_matches_transmil():
     )
 
 
+def test_wrap_pad_square_is_exact_and_buckets_by_side():
+    """Host-side wrap_pad_square == the encoder's internal wrap pad (same
+    math; outputs agree to float tolerance — XLA tiles the fc1 GEMM
+    differently for the padded row count), and slides sharing ceil(sqrt(n))
+    map to ONE padded shape (the jit-cache bucketing predict/encode_slide
+    rely on)."""
+    from mirror_tpu.models.transmil import FeatureTransMIL
+    from mirror_tpu.parallel.context_parallel import (
+        transmil_encode_cp,
+        wrap_pad_square,
+    )
+
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.array(devices).reshape(8, 1), ("data", "model"))
+    mod = FeatureTransMIL(input_dim=24, embed_dim=32)
+    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 24)))["params"]
+    rng = np.random.default_rng(7)
+    for n in (50, 61, 64):  # side 8: pad of 14 / 3 / none
+        tokens = rng.normal(size=(n, 24)).astype(np.float32)
+        padded = wrap_pad_square(tokens)
+        assert padded.shape == (64, 24)
+        raw = transmil_encode_cp(params, jnp.asarray(tokens), mesh)
+        pre = transmil_encode_cp(params, jnp.asarray(padded), mesh)
+        np.testing.assert_allclose(
+            np.asarray(raw), np.asarray(pre), rtol=5e-4, atol=5e-5
+        )
+    # tiny-n edge: add == n (wrap repeats the whole slide)
+    two = rng.normal(size=(2, 24)).astype(np.float32)
+    np.testing.assert_array_equal(
+        wrap_pad_square(two), np.concatenate([two, two], axis=0)
+    )
+
+
 def test_whole_slide_encoder_long_sequence():
     from mirror_tpu.models.transmil import FeatureTransMIL
     from mirror_tpu.parallel.context_parallel import transmil_encode_cp
