@@ -142,7 +142,9 @@ class PlateauController:
         if epoch < self.warmup_epochs:
             t = (epoch + 1) / max(self.warmup_epochs, 1)
             self.current_lr = self.warmup_lr + t * (self.base_lr - self.warmup_lr)
-            return self._with_noise(epoch, self.current_lr)
+            # timm PlateauLRScheduler.step applies noise only on the
+            # post-warmup branch; warmup lrs are exact
+            return self.current_lr
         if epoch == self.warmup_epochs:
             self.current_lr = self.base_lr
         if metric is None:
@@ -221,7 +223,10 @@ def _noise_range_t(args, t_initial: float):
     """timm create_scheduler_v2: lr_noise fractions scale by t_initial;
     a 1-element list means 'from here on', 2 elements a half-open window."""
     lr_noise = getattr(args, "lr_noise", None)
-    if not lr_noise:
+    # `is None` (not falsy): timm treats a scalar 0.0 as "noise from t=0 on"
+    if lr_noise is None or (
+        isinstance(lr_noise, (list, tuple)) and len(lr_noise) == 0
+    ):
         return None
     if isinstance(lr_noise, (list, tuple)):
         rng = [n * t_initial for n in lr_noise]
@@ -328,6 +333,27 @@ def make_schedule(
     ) + 1
     noise = _noise_table(args, t_initial, total_t)
 
+    if cycle_mul != 1.0:
+        # cycle-start boundaries precomputed host-side in float64: tracing
+        # timm's log-based decomposition in f32 mis-assigns the cycle index
+        # at exact restart epochs (e.g. epochs=10, mul=1.1: t=21 is the
+        # start of cycle 2 but f32 log gives i=1 -> min_lr for one epoch)
+        import numpy as np
+
+        _starts64 = np.array(
+            [
+                t_initial * (1.0 - cycle_mul**j) / (1.0 - cycle_mul)
+                for j in range(cycle_limit + 1)
+            ],
+            np.float64,
+        )
+        _lens64 = np.array(
+            [cycle_mul**j * t_initial for j in range(cycle_limit + 1)],
+            np.float64,
+        )
+        _starts = jnp.asarray(_starts64, jnp.float32)
+        _lens = jnp.asarray(_lens64, jnp.float32)
+
     def _cycle(t):
         """timm cycle decomposition: index i, cycle length t_i, offset t_curr."""
         if cycle_mul == 1.0:
@@ -335,12 +361,9 @@ def make_schedule(
             t_i = jnp.asarray(t_initial, jnp.float32)
             t_curr = t - i * t_initial
         else:
-            i = jnp.floor(
-                jnp.log(jnp.maximum(1.0 - t / t_initial * (1.0 - cycle_mul), 1e-12))
-                / jnp.log(cycle_mul)
-            )
-            t_i = cycle_mul**i * t_initial
-            t_curr = t - (1.0 - cycle_mul**i) / (1.0 - cycle_mul) * t_initial
+            i = jnp.sum(t >= _starts[1:])  # completed boundaries, in [0, limit]
+            t_i = _lens[i]
+            t_curr = t - _starts[i]
         return i, t_i, t_curr
 
     def _cycle_lr(t, shape_fn):

@@ -70,6 +70,24 @@ def schedule_count(opt_state, fallback_step):
     return fallback_step
 
 
+def applied_lr(opt_state, schedule, fallback_step):
+    """The lr the optimizer actually applies this step. Plateau optimizers
+    carry it as a HostLRState device scalar (the schedule fn is an identity
+    placeholder there); everything else derives it from the schedule at the
+    real-update count."""
+    from mirror_tpu.train.optim import HostLRState
+
+    found = []
+    jax.tree.map(
+        lambda s: found.append(s.lr) if isinstance(s, HostLRState) else None,
+        opt_state,
+        is_leaf=lambda s: isinstance(s, HostLRState),
+    )
+    if found:
+        return found[0]
+    return schedule(schedule_count(opt_state, fallback_step))
+
+
 def _ema_decay_at(decay: float, warmup: bool, n_updates):
     """timm ModelEmaV3.get_decay (ref train_mirror.py:787-799 passes
     use_warmup=args.model_ema_warmup): with warmup the decay ramps as
@@ -184,10 +202,7 @@ def make_mirror_train_step(
             ),
         }
         if schedule is not None:
-            # read the SAME counter the optimizer's scale_by_schedule uses
-            # (under grad accumulation that's the real-update count, not the
-            # micro-step count) so logged lr == applied lr
-            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
+            metrics["lr"] = applied_lr(state.opt_state, schedule, state.step)
         return new_state, metrics
 
     return train_step
@@ -273,7 +288,7 @@ def make_clip_train_step(
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {"loss": loss, **observability_metrics(state.params, grads)}
         if schedule is not None:
-            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
+            metrics["lr"] = applied_lr(state.opt_state, schedule, state.step)
         return new_state, metrics
 
     return train_step
@@ -335,7 +350,7 @@ def make_classifier_train_step(
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {"loss": loss, **observability_metrics(state.params, grads)}
         if schedule is not None:
-            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
+            metrics["lr"] = applied_lr(state.opt_state, schedule, state.step)
         return new_state, metrics
 
     return train_step
@@ -385,7 +400,7 @@ def make_survival_train_step(
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {"loss": loss, **observability_metrics(state.params, grads)}
         if schedule is not None:
-            metrics["lr"] = schedule(schedule_count(state.opt_state, state.step))
+            metrics["lr"] = applied_lr(state.opt_state, schedule, state.step)
         return new_state, metrics
 
     return train_step

@@ -213,6 +213,62 @@ def test_config_accepts_scheduler_keys(tmp_path):
     assert args.sched == "poly"
 
 
+def test_cycle_restart_epoch_exact_with_fractional_mul():
+    """f32-log regression: with epochs=10, mul=1.1 the start of cycle 2 is
+    exactly t=21; the lr must restart at base*cycle_decay^2, not dip to
+    min_lr for one epoch (timm computes the index in float64)."""
+    a = Args()
+    a.epochs = 10
+    a.lr_cycle_mul = 1.1
+    a.lr_cycle_decay = 0.5
+    a.lr_cycle_limit = 4
+    got = _lrs(a, [0, 10, 21])
+    assert got == pytest.approx([1.0, 0.5, 0.25], abs=1e-6)
+
+
+def test_plateau_warmup_is_noise_free():
+    # timm PlateauLRScheduler.step applies noise only post-warmup
+    c = PlateauController(
+        base_lr=1.0, decay_rate=0.1, patience=0, warmup_epochs=2,
+        warmup_lr=0.1, mode="min",
+        noise_range=0.0, noise_pct=0.67, noise_std=1.0, noise_seed=42,
+    )
+    assert c.epoch_lr(0, None) == pytest.approx(0.55)
+    assert c.epoch_lr(1, None) == pytest.approx(1.0)
+    noisy = c.epoch_lr(2, 0.5)
+    assert noisy == pytest.approx(1.0 + _torch_timm_noise(2, 42, 0.67, 1.0),
+                                  rel=1e-6)
+
+
+def test_scalar_zero_lr_noise_enables_noise_from_start():
+    # timm checks `lr_noise is not None`: a scalar 0.0 means noise from t=0
+    a = Args()
+    a.lr_noise = 0.0
+    got = float(make_schedule(a, steps_per_epoch=1, base_lr=1.0)(
+        jnp.asarray(0)))
+    assert got == pytest.approx(1.0 + _torch_timm_noise(0, 42, 0.67, 1.0),
+                                rel=1e-5)
+
+
+def test_applied_lr_reads_host_lr_state():
+    """steps.applied_lr must report the plateau HostLRState lr, not the
+    identity placeholder schedule."""
+    import optax
+
+    from mirror_tpu.train.optim import scale_by_host_lr, set_host_lr
+    from mirror_tpu.train.steps import applied_lr
+
+    tx = optax.chain(optax.scale_by_adam(), scale_by_host_lr(0.1))
+    opt_state = tx.init({"w": jnp.zeros(3)})
+    sched = lambda step: jnp.asarray(999.0)  # noqa: E731
+    assert float(applied_lr(opt_state, sched, 0)) == pytest.approx(0.1)
+    opt_state = set_host_lr(opt_state, 0.01)
+    assert float(applied_lr(opt_state, sched, 0)) == pytest.approx(0.01)
+    # non-plateau opt states fall back to the schedule
+    tx2 = optax.adam(1e-3)
+    assert float(applied_lr(tx2.init({"w": jnp.zeros(3)}), sched, 0)) == 999.0
+
+
 def test_scheduled_epochs_step_has_no_cooldown_tail():
     a = Args()
     a.sched = "step"
