@@ -13,7 +13,6 @@ _calculate_noise is a seeded torch.randn resample loop).
 import math
 
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from mirror_tpu.train.optim import (
