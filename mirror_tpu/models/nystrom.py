@@ -22,8 +22,10 @@ TPU design notes:
 - softmaxes accumulate in fp32, matmuls run in bf16 on the MXU;
 - ``use_pallas=True`` swaps the two n-length softmax-matmul pipelines for
   fused Pallas kernels (mirror_tpu.ops.nystrom_pallas) that keep the
-  [n, m] attention matrices in VMEM; the m x m pinv stays in XLA to
-  preserve the reference's global-max scaling quirk exactly.
+  [n, m] attention matrices in VMEM, and runs the m x m pinv iteration as
+  a Pallas kernel too (mirror_tpu.ops.pinv_pallas) — its global-max
+  scaling scalar stays in XLA so the reference's scaling quirk and its
+  (sub)gradient are preserved exactly.
 """
 
 from typing import Optional

@@ -122,6 +122,29 @@ def _banded_kernel(K: int, n: int, gb: int, d: int, x_ref, band_ref, o_ref):
             ].astype(o_ref.dtype)
 
 
+def _dkern_tap_row(K: int, n: int, g32, v):
+    """dkern tap gradients as one 128-lane row (lane j holds tap j):
+    dkern[j] = sum_i g[i] . v[i + j - K//2], overlap-sliced at the edges.
+    Taps with no g/v overlap (n <= |offset|) are exactly zero — skipping
+    them also avoids negative-size slices at trace time when n <= K//2."""
+    half = (K - 1) // 2
+    lane = jax.lax.iota(jnp.int32, 128)
+    row = jnp.zeros((128,), jnp.float32)
+    for jj in range(K):
+        off = jj - half  # v index = i + off
+        if abs(off) >= n:
+            continue
+        if off >= 0:
+            ga = g32[: n - off, :]
+            va = v[off:, :]
+        else:
+            ga = g32[-off:, :]
+            va = v[: n + off, :]
+        tap = jnp.sum(ga * va.astype(jnp.float32))
+        row = row + jnp.where(lane == jj, tap, 0.0)
+    return row
+
+
 def _bwd_kernel(K: int, n: int, gb: int, d: int, g_ref, v_ref, band_ref,
                 dv_ref, dk_ref, acc_ref):
     """Fused backward: dv = flipped-Band @ g (banded MXU matmul) and
@@ -137,9 +160,6 @@ def _bwd_kernel(K: int, n: int, gb: int, d: int, g_ref, v_ref, band_ref,
 
     _banded_kernel(K, n, gb, d, g_ref, band_ref, dv_ref)
 
-    half = (K - 1) // 2
-    lane = jax.lax.iota(jnp.int32, 128)
-    row = jnp.zeros((128,), jnp.float32)
     # concatenate the group along lanes ONCE so the tap loop is K ops over
     # [n, gb*d] instead of gb*K ops (a gb*K-unrolled body exploded Mosaic
     # compile time past 12 min at gb=8, K=33)
@@ -147,22 +167,7 @@ def _bwd_kernel(K: int, n: int, gb: int, d: int, g_ref, v_ref, band_ref,
         [g_ref[g, 0, :, :] for g in range(gb)], axis=1
     ).astype(jnp.float32)
     v_all = jnp.concatenate([v_ref[g, 0, :, :] for g in range(gb)], axis=1)
-    for jj in range(K):
-        off = jj - half  # v index = i + off, overlap-sliced at the edges
-        if abs(off) >= n:
-            # no g[i]/v[i+off] overlap for sequences shorter than the tap
-            # offset: this tap's gradient is exactly zero (skipping also
-            # avoids negative-size slices at trace time when n <= K//2)
-            continue
-        if off >= 0:
-            ga = g_all[: n - off, :]
-            va = v_all[off:, :]
-        else:
-            ga = g_all[-off:, :]
-            va = v_all[: n + off, :]
-        tap = jnp.sum(ga * va.astype(jnp.float32))
-        row = row + jnp.where(lane == jj, tap, 0.0)
-    acc_ref[0, :] = acc_ref[0, :] + row
+    acc_ref[0, :] = acc_ref[0, :] + _dkern_tap_row(K, n, g_all, v_all)
     dk_ref[0, :, :] = jnp.broadcast_to(acc_ref[0, :][None, :], (8, 128))
 
 

@@ -56,11 +56,6 @@ def _group_mean_mxu(x, g_mat, l):
     return (s * (1.0 / l)).astype(x.dtype)
 
 
-def _softmax_f32(sim):
-    p = jax.nn.softmax(sim, axis=-1)
-    return p
-
-
 def _fwd_kernel(m: int, l: int, q_ref, k_ref, g_ref, ql_ref, kl_ref, a2_ref):
     g_mat = g_ref[:, :]
     q_l = _group_mean_mxu(q_ref[0, 0, :, :], g_mat, l)
@@ -70,7 +65,7 @@ def _fwd_kernel(m: int, l: int, q_ref, k_ref, g_ref, ql_ref, kl_ref, a2_ref):
     sim = jax.lax.dot_general(
         q_l, k_l, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    a2_ref[0, 0, :, :] = _softmax_f32(sim).astype(a2_ref.dtype)
+    a2_ref[0, 0, :, :] = jax.nn.softmax(sim, axis=-1).astype(a2_ref.dtype)
 
 
 def _bwd_kernel(
@@ -84,7 +79,7 @@ def _bwd_kernel(
     sim = jax.lax.dot_general(
         q_l, k_l, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = _softmax_f32(sim)
+    p = jax.nn.softmax(sim, axis=-1)  # sim is f32 from the dot above
     ga2 = ga2_ref[0, 0, :, :].astype(jnp.float32)
     tmp = p * ga2
     dsim = (tmp - p * jnp.sum(tmp, axis=-1, keepdims=True)).astype(q_l.dtype)

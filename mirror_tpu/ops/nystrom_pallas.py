@@ -10,13 +10,16 @@ the attention matrix never touches HBM. A custom VJP recomputes the softmax
 in the backward kernel (flash-attention-style) and emits dq/dk/dw in one
 pass.
 
-Shapes: q [b, r, h, d], k [b, c, h, d], w [b, c, h, d] -> out [b, r, h, d],
-softmax over c. Both r and c configurations (2304/256 and 256/2304) fit
-comfortably in ~16 MB VMEM: sim is r*c*4 bytes = 2.36 MB.
+Shapes (head-major): q [b, h, r, d], k [b, h, c, d], w [b, h, c, d] ->
+out [b, h, r, d], softmax over c (see ``_specs``: the grid runs one
+program per (batch, head) pair over the last-two [rows, d] tiles). Both
+r/c configurations (2304/256 and 256/2304) fit comfortably in ~16 MB VMEM:
+sim is r*c*4 bytes = 2.36 MB.
 
 Used by ``NystromAttention(use_pallas=True)``; the m x m Moore-Penrose
-pseudo-inverse stays in XLA to preserve the reference's global-max scaling
-(see models/nystrom.py docstring).
+pseudo-inverse runs as its own Pallas kernel (ops/pinv_pallas.py) whose
+global-max scaling scalar stays in XLA to keep the reference's scaling
+quirk and its (sub)gradient exact.
 """
 
 import functools
@@ -30,6 +33,8 @@ from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interp
 
 from mirror_tpu.ops.conv1d_pallas import (
     _band_tiles_xla,
+    _banded_kernel,
+    _dkern_tap_row,
     _tile_rows,
     _window,
     ROW_TILE,
@@ -241,36 +246,10 @@ def _bwd_conv_kernel(K: int, n: int, pad: int, q_ref, k_ref, w_ref, v_ref,
     dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
     dw_ref[0, 0, :, :] = dw.astype(dw_ref.dtype)
 
-    # conv backward riding along: dv = flipped-band conv of g
-    bandf = bandf_ref[0, :, :]
-    for s0, rows in _tile_rows(n):
-        win = _window(g_ref, 0, s0, rows, K, n)
-        dv = jax.lax.dot(
-            bandf[:rows, : rows + K - 1], win,
-            preferred_element_type=jnp.float32,
-        )
-        dv_ref[0, 0, pl.dslice(s0, rows), :] = dv.astype(dv_ref.dtype)
-
-    # dkern taps: dk[j] = sum_i g[i] . v[i + j - K//2] (overlap-sliced)
-    half = (K - 1) // 2
-    lane = jax.lax.iota(jnp.int32, 128)
-    row = jnp.zeros((128,), jnp.float32)
-    g32 = g.astype(jnp.float32)
-    for jj in range(K):
-        off = jj - half
-        if abs(off) >= n:
-            # no g[i]/v[i+off] overlap for sequences shorter than the tap
-            # offset: this tap's gradient is exactly zero (skipping also
-            # avoids negative-size slices at trace time when n <= K//2)
-            continue
-        if off >= 0:
-            ga = g32[: n - off, :]
-            va = v_ref[0, 0, pl.dslice(off, n - off), :]
-        else:
-            ga = g32[-off:, :]
-            va = v_ref[0, 0, pl.dslice(0, n + off), :]
-        tap = jnp.sum(ga * va.astype(jnp.float32))
-        row = row + jnp.where(lane == jj, tap, 0.0)
+    # conv backward riding along (shared with conv1d_pallas._bwd_kernel):
+    # dv = flipped-Band @ g, then the K-tap dkern gradient row
+    _banded_kernel(K, n, 1, g.shape[-1], g_ref, bandf_ref, dv_ref)
+    row = _dkern_tap_row(K, n, g.astype(jnp.float32), v_ref[0, 0, :, :])
     acc_ref[0, :] = acc_ref[0, :] + row
     dkern_ref[0, :, :] = jnp.broadcast_to(acc_ref[0, :][None, :], (8, 128))
 

@@ -123,8 +123,9 @@ def _bwd_kernel(iters: int, x_ref, s_ref, g_ref, gx_ref, gs_ref, zs_ref):
         )
         gz = (gz_next + _dot_tn(x, gb)).astype(g.dtype)
 
-    # through z0 = x^T / s
-    z0 = zs_ref[0, :, :]  # slot 4*0+0 holds z_0
+    # through z0 = x^T / s. iters is static: with 0 iterations the scratch
+    # is zero-size, so recompute z0 instead of reading slot 0
+    z0 = zs_ref[0, :, :] if iters > 0 else (x.T / s).astype(x.dtype)
     gx = gx + (gz.T.astype(jnp.float32) / s)
     gs = -jnp.sum(gz.astype(jnp.float32) * z0.astype(jnp.float32)) / s
     gx_ref[0, 0, :, :] = gx.astype(gx_ref.dtype)
@@ -242,6 +243,8 @@ def moore_penrose_pinv_pallas(
     documented deviation that trades gradient exactness on ill-conditioned
     landmark matrices for skipping the entire backward iteration sweep.
     """
+    if grad not in ("exact", "implicit"):
+        raise ValueError(f"pinv grad must be 'exact' or 'implicit', got {grad!r}")
     abs_x = jnp.abs(x)
     col = jnp.sum(abs_x, axis=-1)
     row = jnp.sum(abs_x, axis=-2)

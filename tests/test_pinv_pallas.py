@@ -121,3 +121,29 @@ def test_pinv_pallas_implicit_matches_dense_implicit():
     np.testing.assert_allclose(
         np.asarray(g_pal), np.asarray(g_dense), rtol=5e-3, atol=1e-3
     )
+
+
+def test_pinv_pallas_rejects_unknown_grad():
+    import pytest
+
+    x = _softmax_like_input(jax.random.PRNGKey(4), 1, 1, 128, jnp.float32)
+    with pytest.raises(ValueError, match="implicit"):
+        moore_penrose_pinv_pallas(x, 6, grad="implict")  # typo must not
+        # silently fall back to the exact sweep
+
+
+def test_pinv_pallas_zero_iterations_grad():
+    """iters=0: z = x^T / s with no scratch slots; the backward must
+    recompute z0 instead of reading the zero-size stash."""
+    x = _softmax_like_input(jax.random.PRNGKey(5), 1, 1, 128, jnp.float32)
+
+    def f_ref(x):
+        return jnp.sum(moore_penrose_pinv(x, 0) ** 2)
+
+    def f_pl(x):
+        return jnp.sum(moore_penrose_pinv_pallas(x, 0) ** 2)
+
+    np.testing.assert_allclose(float(f_pl(x)), float(f_ref(x)), rtol=1e-5)
+    g_ref = np.asarray(jax.grad(f_ref)(x))
+    g_pl = np.asarray(jax.grad(f_pl)(x))
+    np.testing.assert_allclose(g_pl, g_ref, rtol=1e-4, atol=1e-6)
