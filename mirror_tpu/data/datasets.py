@@ -310,10 +310,13 @@ class SurvivalDataset(_BaseDataset):
         self._build_rna_cache()
         self.num_classes: Optional[int] = None
         self._gen_disc_label()
-        self.slide_cls_ids = [
-            np.where(self.survival_data["label"] == i)[0]
-            for i in range(self.num_classes)
-        ]
+        # NOTE: no slide_cls_ids here. The reference builds per-class row
+        # groups over the merged survival table (ref dataset_survival.py:
+        # 81-84) whose row positions are NOT aligned with dataset indices;
+        # its sampler then weights by full-cohort counts. Class-balanced
+        # sampling derives weights index-aligned from get_label over the
+        # live split instead (data/loader.py::class_balanced_weights — a
+        # deliberate fix, recorded in PARITY.md).
         if splits is not None:
             self.update_fold_nb(0)
         else:

@@ -37,7 +37,27 @@ def find_feature_file(directory: str, slide_id: str) -> str:
 
 
 def list_feature_files(directory: str) -> List[str]:
-    return [f for f in os.listdir(directory) if f.endswith(_FEATURE_EXTS)]
+    """One file per slide id, sorted. A slide present in several formats
+    (e.g. X.npy next to X.pt after tools/convert_features.py) is listed
+    once, preferring the _FEATURE_EXTS order (.npy, the native format,
+    first) — otherwise such slides would be silently double-counted by the
+    datasets (twice per epoch, twice in class-balanced weights)."""
+    by_id: dict = {}
+    for f in os.listdir(directory):
+        if not f.endswith(_FEATURE_EXTS):
+            continue
+        sid = f.split(".")[0]
+        prev = by_id.get(sid)
+        if prev is None or _ext_rank(f) < _ext_rank(prev):
+            by_id[sid] = f
+    return sorted(by_id.values())
+
+
+def _ext_rank(fname: str) -> int:
+    for i, ext in enumerate(_FEATURE_EXTS):
+        if fname.endswith(ext):
+            return i
+    return len(_FEATURE_EXTS)
 
 
 def save_feature_file(path: str, array: np.ndarray) -> None:

@@ -20,16 +20,25 @@ SPMD input feeding:
   single-process batch — see parallel/distributed.py.
 """
 
+import logging
 import queue
 import threading
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
 from mirror_tpu.parallel.distributed import local_block
 
+_logger = logging.getLogger(__name__)
+
 
 def class_balanced_weights(dataset) -> np.ndarray:
+    """Weight = 1/class_count, computed over the LIVE split with
+    index-aligned labels. Deliberate fix vs the reference (PARITY.md): its
+    sampler weights by full-cohort ``slide_cls_ids`` whose row positions
+    index the merged survival table, not the dataset
+    (ref datasets/dataset_survival.py:81-84,276-277 + utils/loader.py:14-26),
+    so reference weights can be positionally misaligned with the fold."""
     labels = np.asarray([dataset.get_label(i) for i in range(len(dataset))])
     counts = np.bincount(labels)
     weights = 1.0 / counts[labels]
@@ -135,9 +144,8 @@ class Loader:
     def _make_batch(
         self, indices: np.ndarray, seeds: np.ndarray, valid: np.ndarray
     ) -> Dict[str, np.ndarray]:
-        if self._native:
-            batch = self._make_batch_native(indices, seeds)
-        else:
+        batch = self._make_batch_native(indices, seeds) if self._native else None
+        if batch is None:  # numpy path (also the native-ineligible fallback)
             items = [
                 self._item(int(i), int(s)) for i, s in zip(indices, seeds)
             ]
@@ -147,24 +155,33 @@ class Loader:
 
     def _make_batch_native(
         self, indices: np.ndarray, seeds: np.ndarray
-    ) -> Dict[str, np.ndarray]:
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """None = this cohort can't ride the C++ fast path (mixed formats,
+        or .npy content the mmap gather rejects — float64, fortran order);
+        the caller then assembles via numpy and the loader stays on the
+        numpy path for the rest of the run instead of crashing the epoch."""
         from . import native_loader
 
         paths = []
         for i in indices:
             p = self.dataset.wsi_npy_path(int(i))
-            if p is None:  # mixed-format cohort: bail to the numpy path
+            if p is None:  # mixed-format cohort
                 self._native = False
-                items = [
-                    self._item(int(j), int(s)) for j, s in zip(indices, seeds)
-                ]
-                return {k: np.stack([it[k] for it in items]) for k in items[0]}
+                return None
             paths.append(p)
-        wsi = native_loader.gather_batch(
-            paths, self.dataset.num_wsi_feature_tokens,
-            [int(s) for s in seeds],
-            num_threads=self.native_threads,
-        )
+        try:
+            wsi = native_loader.gather_batch(
+                paths, self.dataset.num_wsi_feature_tokens,
+                [int(s) for s in seeds],
+                num_threads=self.native_threads,
+            )
+        except (ValueError, RuntimeError) as e:
+            _logger.warning(
+                "native loader rejected this cohort (%s); falling back to "
+                "the numpy path", e,
+            )
+            self._native = False
+            return None
         metas = [self.dataset.get_meta(int(i)) for i in indices]
         batch = {k: np.stack([m[k] for m in metas]) for k in metas[0]}
         batch["wsi"] = wsi

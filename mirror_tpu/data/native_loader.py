@@ -152,5 +152,20 @@ def gather_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
     )
     if rc != 0:
-        raise ValueError(f"mirror_gather_batch failed with code {rc}")
+        # the C++ side keeps only an error CODE (whichever failing worker
+        # reported first); re-probe the files one at a time so the error
+        # names the offending path instead of leaving the operator to
+        # bisect the batch by hand
+        culprit = ""
+        for p, s in zip(paths, seeds):
+            one = np.empty((1, n_tokens, feature_dim), np.float32)
+            rc1 = lib.mirror_gather_batch(
+                (ctypes.c_char_p * 1)(p.encode()), 1, n_tokens, feature_dim,
+                (ctypes.c_uint64 * 1)(int(s) & (2**64 - 1)),
+                one.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 1,
+            )
+            if rc1 != 0:
+                culprit = f" (first failing file: {p}, code {rc1})"
+                break
+        raise ValueError(f"mirror_gather_batch failed with code {rc}{culprit}")
     return out

@@ -68,7 +68,7 @@ def update_summary(
 
 def gather_eval_outputs(
     mesh, eval_step, params, dataset, batch_size, n_devices,
-    extra_keys=(), seed=42, native_threads=8,
+    extra_keys=(), seed=42, native_threads=8, epoch=0,
 ):
     """Shared downstream eval gather (subtyping + survival): round the
     batch to a device multiple, pad the tail (``pad_last``), run the jitted
@@ -91,6 +91,11 @@ def gather_eval_outputs(
         dataset, batch_size, shuffle=False, drop_last=False, pad_last=True,
         seed=seed, native_threads=native_threads,
     )
+    # fresh token subsample per eval, like the reference's global-RNG draws
+    # in validate (ref dataset __getitem__ np.random.choice each epoch) —
+    # a fixed subsample would let best-checkpoint selection overfit to one
+    # particular draw of each long slide
+    loader.set_epoch(epoch)
     logits_all, labels_all = [], []
     extras = {k: [] for k in extra_keys}
     for host_batch in loader:

@@ -198,3 +198,40 @@ def test_loader_early_abandonment_stops_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, threading.enumerate()
+
+
+def test_list_feature_files_dedupes_formats(tmp_path):
+    """A slide saved in two formats (post convert_features) must be listed
+    once, preferring .npy — otherwise datasets double-count it per epoch."""
+    from mirror_tpu.data.formats import list_feature_files
+
+    d = tmp_path / "feats"
+    d.mkdir()
+    np.save(d / "TCGA-AA-0001-01Z-00-DX1.npy", np.zeros((4, 8), np.float32))
+    (d / "TCGA-AA-0001-01Z-00-DX1.pt").write_bytes(b"x")  # never opened
+    np.save(d / "TCGA-AA-0002-01Z-00-DX1.npy", np.zeros((4, 8), np.float32))
+    files = list_feature_files(str(d))
+    assert files == [
+        "TCGA-AA-0001-01Z-00-DX1.npy", "TCGA-AA-0002-01Z-00-DX1.npy",
+    ]
+
+
+def test_eval_loader_resamples_tokens_per_epoch(cohort):
+    """gather_eval_outputs passes the epoch into the loader: long slides
+    must get a FRESH token subsample each eval (reference validate draws
+    from the global RNG every epoch), not one frozen draw."""
+    ds = PretrainDataset(
+        cohort["feature_dir"], cohort["rna_csv"], num_wsi_feature_tokens=16,
+        splits=cohort["splits_dir"],
+    )
+    ds.train()
+    loader = Loader(ds, batch_size=2, shuffle=False, drop_last=False,
+                    pad_last=True, seed=7, prefetch=0, use_native=False)
+    loader.set_epoch(0)
+    e0 = next(iter(loader))["wsi"]
+    loader.set_epoch(1)
+    e1 = next(iter(loader))["wsi"]
+    loader.set_epoch(0)
+    e0_again = next(iter(loader))["wsi"]
+    np.testing.assert_array_equal(e0, e0_again)  # same epoch -> same draw
+    assert not np.array_equal(e0, e1)  # new epoch -> new subsample

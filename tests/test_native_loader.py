@@ -142,3 +142,53 @@ def test_native_rejects_malformed_npy(tmp_path):
         # shape matches but the buffer is a transposed view
         out = np.empty((1, 8, 4), np.float32).transpose(0, 2, 1)
         nl.gather_batch([ok], 4, [1], feature_dim=8, out=out)  # non-contig
+
+
+def test_loader_falls_back_when_native_rejects_content(tmp_path, caplog):
+    """A float64 .npy cohort passes the extension eligibility check but the
+    C++ gather rejects the dtype: the loader must warn + fall back to the
+    numpy path instead of crashing the epoch."""
+    import logging
+
+    from mirror_tpu.data import PretrainDataset, make_synthetic_cohort
+
+    cohort = make_synthetic_cohort(
+        str(tmp_path / "c"), n_patients=6, feature_dim=16, rna_dim=32
+    )
+    # rewrite every feature file as float64 (np.save of raw float64 feats)
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(cohort["feature_dir"], "*.npy")):
+        np.save(f, np.load(f).astype(np.float64))
+    ds = PretrainDataset(
+        cohort["feature_dir"], cohort["rna_csv"], num_wsi_feature_tokens=24,
+        splits=cohort["splits_dir"],
+    )
+    ds.train()
+    from mirror_tpu.data import Loader
+
+    loader = Loader(ds, batch_size=2, drop_last=True, seed=5, prefetch=0)
+    if not loader._native:
+        pytest.skip("native loader unavailable in this environment")
+    with caplog.at_level(logging.WARNING, logger="mirror_tpu.data.loader"):
+        batches = list(loader)
+    assert not loader._native  # downgraded, not crashed
+    assert any("falling back" in r.message for r in caplog.records)
+    assert batches[0]["wsi"].dtype == np.float32
+    assert np.all(np.isfinite(batches[0]["wsi"]))
+
+
+def test_gather_batch_error_names_the_failing_file(tmp_path):
+    from mirror_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    good = tmp_path / "good.npy"
+    bad = tmp_path / "bad.npy"
+    np.save(good, np.random.rand(10, 8).astype(np.float32))
+    bad.write_bytes(b"\x93NUMPY garbage")
+    with pytest.raises(ValueError, match="bad.npy"):
+        native_loader.gather_batch(
+            [str(good), str(bad)], 4, [1, 2], num_threads=2
+        )

@@ -186,7 +186,7 @@ def main(argv=None):
         logits, labels, _ = gather_eval_outputs(
             mesh, eval_step, state.params, dataset.val(),
             args.validation_batch_size or batch_size, n_devices,
-            seed=args.seed, native_threads=args.workers,
+            seed=args.seed, native_threads=args.workers, epoch=epoch,
         )
         loss = float(
             smoothed_xent(jnp.asarray(logits), jnp.asarray(labels), 0.0)

@@ -154,7 +154,7 @@ def main(argv=None):
             mesh, eval_step, state.params, dataset.val(),
             args.validation_batch_size or batch_size, n_devices,
             extra_keys=("event_time", "censorship"),
-            seed=args.seed, native_threads=args.workers,
+            seed=args.seed, native_threads=args.workers, epoch=epoch,
         )
         times = extras["event_time"]
         censor = extras["censorship"]
