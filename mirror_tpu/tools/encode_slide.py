@@ -59,8 +59,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--save", choices=["cls", "full"], default="cls",
-                   help="'cls': [D] slide embedding; 'full': the whole "
-                        "normed token sequence")
+                   help="'cls': [D] slide embedding; 'full': [1+n, D] "
+                        "normed sequence (cls row 0, then one row per REAL "
+                        "patch — the wrap-pad duplicate rows are trimmed)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--heads", type=int, default=8)
@@ -97,11 +98,17 @@ def main(argv=None):
         out_path = os.path.join(args.output, slide_id + ".npy")
         if args.skip_existing and os.path.exists(out_path):
             continue
-        feats = load_feature_file(os.path.join(args.wsi_feature_dir, fname))
-        feats = wrap_pad_square(np.asarray(feats, np.float32))
-        out = encode(jnp.asarray(feats))
+        feats = np.asarray(
+            load_feature_file(os.path.join(args.wsi_feature_dir, fname)),
+            np.float32,
+        )
+        n_real = feats.shape[0]
+        out = encode(jnp.asarray(wrap_pad_square(feats)))
         out = np.asarray(out, np.float32)
-        np.save(out_path, out[0] if args.save == "cls" else out)
+        # rows: [0] cls, [1 : n_real+1] real patches, then wrap-pad
+        # duplicates (appended last by wrap_pad_square) — trim the pads so
+        # 'full' rows map 1:1 onto the slide's patches
+        np.save(out_path, out[0] if args.save == "cls" else out[: n_real + 1])
         done += 1
         if done % 25 == 0:
             _logger.info("%d slides encoded", done)
