@@ -66,6 +66,9 @@ def save_feature_file(path: str, array: np.ndarray) -> None:
     elif path.endswith(".pt"):
         import torch
 
-        torch.save(torch.from_numpy(np.ascontiguousarray(array)), path)
+        arr = np.ascontiguousarray(array)
+        if not arr.flags.writeable:  # mmap-backed input: torch needs writable
+            arr = arr.copy()
+        torch.save(torch.from_numpy(arr), path)
     else:
         raise ValueError(f"Unsupported feature file: {path}")

@@ -18,7 +18,6 @@ the reference's 15-char "Sample ID" prefix when a CSV is given.
 """
 
 import argparse
-import glob
 import logging
 import os
 
@@ -109,12 +108,15 @@ def predict(
             "training time) — pass --rna-feature-csv"
         )
 
-    from mirror_tpu.data.formats import _FEATURE_EXTS
+    from mirror_tpu.data.formats import list_feature_files
 
-    files = sorted(
-        f for f in glob.glob(os.path.join(wsi_feature_dir, "*"))
-        if f.endswith(_FEATURE_EXTS)
-    )
+    # list_feature_files dedupes slides present in several formats (X.npy
+    # next to X.pt after convert_features) — a raw glob would score such
+    # slides twice and emit duplicate slide_id rows
+    files = [
+        os.path.join(wsi_feature_dir, f)
+        for f in list_feature_files(wsi_feature_dir)
+    ]
     if rna_df is not None:
         kept = [f for f in files
                 if os.path.basename(f).split(".")[0][:15] in rna_df.index]

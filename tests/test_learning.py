@@ -32,7 +32,12 @@ def test_subtyping_learns(cohort, tmp_path, pinv_grad):
         split_dir=cohort["splits_dir"],
         classes=cohort["classes"],
         num_classes=2,
-        num_wsi_feature_tokens=24,
+        # 32 tokens, not 24: eval re-draws the token subsample every epoch
+        # (reference-faithful, harness.gather_eval_outputs), and on this
+        # 6-patient val fold a 24-token draw is noisy enough to cap AUC at
+        # 0.75 across all epochs while 32 reaches 1.0 — the margin is the
+        # test's robustness to the faithful eval semantics, not the model's
+        num_wsi_feature_tokens=32,
         batch_size=8,
         epochs=8,
         lr=1e-3,

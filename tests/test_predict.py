@@ -3,6 +3,7 @@ checkpoint (model rebuilt from the checkpoint's embedded run args)."""
 
 import os
 
+import numpy as np
 import pandas as pd
 import pytest
 import yaml
@@ -183,3 +184,28 @@ def test_predict_wsi_only(cohort, tmp_path):
     predict(ckpt, "subtyping", cohort["feature_dir"], out_csv, batch_size=8)
     df = pd.read_csv(out_csv)
     assert len(df) > 0 and "prob_1" in df.columns
+
+    # a slide present in two formats (X.npy + X.pt after convert_features)
+    # must be scored once, not twice (predict shares list_feature_files'
+    # dedupe with the datasets)
+    import shutil
+
+    from mirror_tpu.data.formats import load_feature_file, save_feature_file
+
+    dup_dir = str(tmp_path / "dupfeats")
+    os.makedirs(dup_dir)
+    npys = sorted(f for f in os.listdir(cohort["feature_dir"])
+                  if f.endswith(".npy"))[:3]
+    for f in npys:
+        shutil.copy(os.path.join(cohort["feature_dir"], f),
+                    os.path.join(dup_dir, f))
+    dup_sid = npys[0].split(".")[0]
+    save_feature_file(
+        os.path.join(dup_dir, dup_sid + ".pt"),
+        np.asarray(load_feature_file(os.path.join(dup_dir, npys[0]))),
+    )
+    dup_csv = str(tmp_path / "dup_preds.csv")
+    predict(ckpt, "subtyping", dup_dir, dup_csv, batch_size=4)
+    dup_df = pd.read_csv(dup_csv)
+    assert len(dup_df) == 3
+    assert dup_df["slide_id"].is_unique
