@@ -139,7 +139,9 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--warmup-prefix", action="store_true", default=False)
     g.add_argument("--cooldown-epochs", type=int, default=0)
     g.add_argument("--patience-epochs", type=int, default=10)
-    g.add_argument("--decay-rate", type=float, default=0.1)
+    # "--dr" alias kept for reference command-line compatibility
+    # (ref train_mirror.py:493-500)
+    g.add_argument("--decay-rate", "--dr", type=float, default=0.1)
 
     g = parser.add_argument_group("EMA")
     g.add_argument("--model-ema", action="store_true", default=False)
@@ -167,6 +169,29 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--profile", action="store_true", default=False,
                    help="write a jax.profiler trace of one epoch to the run dir")
 
+    # GPU/torch-only reference flags: accepted so reference command lines
+    # parse unchanged (MIGRATION.md's contract), then dropped with a warning
+    # when set to a non-default value (same policy as the YAML-side
+    # _IGNORED_KEYS). Literals/types match the reference argparse surface
+    # (ref train_mirror.py device/DDP/loader groups).
+    g = parser.add_argument_group("Ignored (GPU-only reference surface)")
+    g.add_argument("--torchscript", action="store_true", default=False)
+    g.add_argument("--torchcompile", nargs="?", type=str, default=None,
+                   const="inductor")
+    g.add_argument("--fuser", type=str, default="")
+    g.add_argument("--fast-norm", action="store_true", default=False)
+    g.add_argument("--amp-impl", type=str, default="native")
+    g.add_argument("--no-ddp-bb", action="store_true", default=False)
+    g.add_argument("--device-modules", type=str, nargs="+", default=None)
+    g.add_argument("--local_rank", type=int, default=0)
+    g.add_argument("--sync-bn", action="store_true", default=False)
+    g.add_argument("--dist-bn", type=str, default="reduce")
+    g.add_argument("--pin-mem", action="store_true", default=False)
+    g.add_argument("--model-ema-force-cpu", action="store_true", default=False)
+    g.add_argument("--worker-seeding", type=str, default="all")
+    g.add_argument("--epoch-repeats", type=float, default=0.0)
+    g.add_argument("--in-chans", type=int, default=None)
+
 
 
 def build_parser(task: str) -> argparse.ArgumentParser:
@@ -189,7 +214,10 @@ def build_parser(task: str) -> argparse.ArgumentParser:
         parser.add_argument("--init-head", action="store_true", default=False)
         parser.add_argument("--head-init-scale", type=float, default=None)
         parser.add_argument("--head-init-bias", type=float, default=None)
-        parser.add_argument("--linear-probe", action="store_true", default=False)
+        # "--linear_probe" (underscore) is the literal the reference spells
+        # (ref train_subtyping.py:665); kept as an alias
+        parser.add_argument("--linear-probe", "--linear_probe",
+                            action="store_true", default=False)
         parser.add_argument("--drop-last", action="store_true", default=True)
         parser.add_argument("--no-drop-last", action="store_false", dest="drop_last")
         parser.add_argument("--weighted-sampler", action="store_true", default=False)
@@ -205,7 +233,8 @@ def build_parser(task: str) -> argparse.ArgumentParser:
         parser.add_argument("--init-head", action="store_true", default=False)
         parser.add_argument("--head-init-scale", type=float, default=None)
         parser.add_argument("--head-init-bias", type=float, default=None)
-        parser.add_argument("--linear-probe", action="store_true", default=False)
+        parser.add_argument("--linear-probe", "--linear_probe",
+                            action="store_true", default=False)
         parser.add_argument("--drop-last", action="store_true", default=True)
         parser.add_argument("--no-drop-last", action="store_false", dest="drop_last")
         parser.add_argument("--weighted-sampler", action="store_true", default=False)
@@ -250,6 +279,12 @@ def parse_args(
         parser.set_defaults(**defaults)
 
     args = parser.parse_args(remaining)
+    for dest in sorted(_IGNORED_KEYS):
+        if hasattr(args, dest) and getattr(args, dest) != parser.get_default(dest):
+            _logger.warning(
+                "Ignoring GPU-only flag --%s=%r (no TPU meaning)",
+                dest.replace("_", "-"), getattr(args, dest),
+            )
     args.config = cfg_args.config
     args_text = yaml.safe_dump(vars(args), default_flow_style=False)
     return args, args_text

@@ -431,10 +431,80 @@ def _no_decay_mask(params) -> Any:
     return jax.tree.map(lambda p: p.ndim > 1, params)
 
 
+def _timm_layer_map(
+    names, head_prefixes=None, layers_per_group: int = 12
+) -> Dict[str, int]:
+    """timm ``_layer_map`` semantics (timm/optim/_param_groups.py, consumed
+    by ``param_groups_layer_decay`` when the model has no ``group_matcher``):
+    parameters whose name starts with a head prefix — or ALL parameters when
+    the model declares no ``pretrained_cfg['classifier']`` — go to the final
+    (head) group; the rest group into chunks of ``layers_per_group`` in
+    parameter order."""
+
+    def in_head(n: str) -> bool:
+        if not head_prefixes:
+            return True  # timm: `if not hp: return True` — everything is head
+        return any(n.startswith(h) for h in head_prefixes)
+
+    trunk = [n for n in names if not in_head(n)]
+    groups = [
+        trunk[i : i + layers_per_group]
+        for i in range(0, len(trunk), layers_per_group)
+    ]
+    layer_map = {n: i for i, grp in enumerate(groups) for n in grp}
+    layer_map.update({n: len(groups) for n in names if in_head(n)})
+    return layer_map
+
+
+def _path_name(path) -> str:
+    return ".".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    )
+
+
+def scale_by_layer_decay(
+    layer_decay: float, head_prefixes=None, layers_per_group: int = 12
+) -> optax.GradientTransformation:
+    """Per-parameter lr scaling, timm ``param_groups_layer_decay`` semantics
+    (group i of num_layers gets lr_scale = layer_decay**(num_layers-1-i),
+    head group scale 1.0). Scaling the FINAL update leafwise is exactly
+    per-group lr for every optimizer here (the whole update, including
+    decoupled weight decay, is proportional to the group lr in torch).
+
+    Reference-parity note: the reference forwards --layer-decay to timm's
+    create_optimizer_v2 (/root/reference/train_mirror.py:314,742-746), but
+    MIRROR-family models define neither ``group_matcher`` nor
+    ``pretrained_cfg['classifier']``, so timm's ``_layer_map`` places EVERY
+    parameter in the single head group with scale layer_decay**0 == 1.0 —
+    i.e. the reference's own --layer-decay is inert for these models. This
+    transform reproduces that (all-ones scales when head_prefixes is None)
+    rather than silently dropping the flag; head_prefixes exposes the real
+    grouping for models that declare a head."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves = jax.tree_util.tree_flatten_with_path(updates)[0]
+        layer_map = _timm_layer_map(
+            [_path_name(p) for p, _ in leaves], head_prefixes, layers_per_group
+        )
+        num_layers = max(layer_map.values()) + 1
+
+        def scale(path, u):
+            s = layer_decay ** (num_layers - 1 - layer_map[_path_name(path)])
+            return u if s == 1.0 else (u * s).astype(u.dtype)
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     args,
     schedule: Callable,
-    params_example=None,
     trainable_mask=None,
 ) -> optax.GradientTransformation:
     opt_name = args.opt.lower()
@@ -537,6 +607,16 @@ def make_optimizer(
         chain.append(scale_by_host_lr(init_lr))
     else:
         chain.append(optax.scale_by_schedule(lambda step: -schedule(step)))
+
+    layer_decay = getattr(args, "layer_decay", None)
+    if layer_decay is not None:
+        chain.append(scale_by_layer_decay(float(layer_decay)))
+        _logger.info(
+            "layer_decay=%s: timm-parity grouping — MIRROR-family models "
+            "have no head prefix, so every parameter lands in one group "
+            "with lr scale 1.0 (the reference's --layer-decay is inert for "
+            "its own models; see scale_by_layer_decay)", layer_decay,
+        )
     tx = optax.chain(*chain)
 
     if trainable_mask is not None:
