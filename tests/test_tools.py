@@ -146,6 +146,178 @@ def test_gen_patch_on_synthetic_image(tmp_path):
     assert all(f.endswith(".jpeg") and "_" in f for f in files)
 
 
+def _bfs_label(mask):
+    """Brute-force 8-connected component labeling (independent oracle for
+    skimage/scipy labeling — connectivity=8 saturates to full 8-conn for 2-D,
+    per ndi.generate_binary_structure)."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), np.int32)
+    cur = 0
+    for sy in range(h):
+        for sx in range(w):
+            if not mask[sy, sx] or labels[sy, sx]:
+                continue
+            cur += 1
+            stack = [(sy, sx)]
+            labels[sy, sx] = cur
+            while stack:
+                y, x = stack.pop()
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = y + dy, x + dx
+                        if (0 <= ny < h and 0 <= nx < w and mask[ny, nx]
+                                and not labels[ny, nx]):
+                            labels[ny, nx] = cur
+                            stack.append((ny, nx))
+    return labels, cur
+
+
+def _oracle_remove_small_objects(mask, min_size):
+    """skimage.morphology.remove_small_objects semantics: drop components
+    with pixel count STRICTLY below min_size (size == min_size survives)."""
+    labels, n = _bfs_label(mask)
+    out = mask.copy()
+    for i in range(1, n + 1):
+        if (labels == i).sum() < min_size:
+            out[labels == i] = False
+    return out
+
+
+def _oracle_reference_pipeline(image, patch_size, params):
+    """Transcription of the reference recipe's data flow
+    (/root/reference/tools/gen_patch.py:71-136,172-198) as an independent
+    test oracle: centered always-pad, HSV-S Otsu + morphology with
+    brute-force remove_small_holes/objects, reshape-patchify, sum>0
+    selection, and idx//(level0_w//ps) naming."""
+    import cv2
+
+    level0_w = image.shape[1]
+    pad0 = patch_size - image.shape[0] % patch_size
+    pad1 = patch_size - image.shape[1] % patch_size
+    padded = np.pad(
+        image,
+        [[pad0 // 2, pad0 - pad0 // 2], [pad1 // 2, pad1 - pad1 // 2], [0, 0]],
+        constant_values=255,
+    )
+    sat = cv2.medianBlur(
+        cv2.cvtColor(padded, cv2.COLOR_RGB2HSV)[:, :, 1],
+        ksize=params["blur_ksize"],
+    )
+    _, mask = cv2.threshold(sat, 0, 255, cv2.THRESH_OTSU + cv2.THRESH_BINARY)
+    mask = cv2.morphologyEx(
+        mask, cv2.MORPH_CLOSE,
+        np.ones((params["close_ksize"], params["close_ksize"]), np.uint8),
+    )
+    mask = cv2.erode(
+        mask, np.ones((params["erode_ksize"], params["erode_ksize"]), np.uint8)
+    )
+    mask = mask > 0
+    # remove_small_holes == complement / remove objects / complement
+    mask = ~_oracle_remove_small_objects(~mask, params["area_small_holes"])
+    mask = _oracle_remove_small_objects(mask, params["min_size_small_objects"])
+    mask = mask.astype(np.uint8) * 255
+
+    h, w = padded.shape[:2]
+    rows, cols = h // patch_size, w // patch_size
+    mask_patches = (
+        mask.reshape(rows, patch_size, cols, patch_size)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, patch_size, patch_size)
+    )
+    selected = [i for i, p in enumerate(mask_patches) if p.sum() > 0]
+    if not selected:
+        selected = list(range(len(mask_patches)))
+    name_cols = level0_w // patch_size
+    names = {f"{i // name_cols}_{i % name_cols}" for i in selected}
+    return mask, names
+
+
+def test_gen_patch_golden_vs_reference_recipe(tmp_path):
+    """Kept-patch filename sets and the foreground mask must be
+    bit-identical to an independent transcription of the reference recipe
+    (VERDICT r3 item 3 'done' criterion)."""
+    import cv2
+
+    from mirror_tpu.tools import gen_patch
+
+    rng = np.random.default_rng(42)
+    # two blobs + speckle noise + an internal hole, to exercise Otsu,
+    # morphology, hole filling AND small-object removal nontrivially
+    img = np.full((210, 330, 3), 245, np.uint8)
+    cv2.circle(img, (100, 100), 70, (150, 70, 170), -1)
+    cv2.circle(img, (100, 100), 12, (245, 245, 245), -1)  # hole in blob
+    cv2.circle(img, (270, 60), 9, (140, 60, 150), -1)  # small object
+    noise = rng.integers(0, 25, img.shape, dtype=np.uint8)
+    img = cv2.subtract(img, noise)
+    params = dict(
+        blur_ksize=5, close_ksize=3, erode_ksize=4,
+        area_small_holes=200, min_size_small_objects=400,
+    )
+
+    # mask parity: our scipy-based segment_foreground == BFS oracle
+    pad = gen_patch.pad_slide(img, 64, 255)
+    ours = gen_patch.segment_foreground(pad, connectivity=8, **params)
+    want_mask, want_names = _oracle_reference_pipeline(img, 64, params)
+    np.testing.assert_array_equal(ours, want_mask)
+    assert want_mask.max() == 255  # segmentation found tissue
+    # hole got filled, small object got dropped
+    assert set(np.unique(want_mask)) == {0, 255}
+
+    # end-to-end: process_slide writes exactly the oracle's filename set
+    slide = str(tmp_path / "g.png")
+    cv2.imwrite(slide, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    out = str(tmp_path / "patches")
+    gen_patch.process_slide(slide, out, patch_size=64, **params)
+    got_names = {
+        os.path.splitext(f)[0] for f in os.listdir(os.path.join(out, "g"))
+    }
+    assert got_names == want_names
+
+
+def test_gen_patch_pad_and_hole_quirks():
+    """The reference's always-pad quirk (a dim already a multiple still gets
+    a full patch_size of centered padding, ref :73-76) and skimage's
+    exact-threshold hole semantics (area == area_threshold NOT filled)."""
+    from mirror_tpu.tools.gen_patch import pad_slide, remove_small_holes
+
+    img = np.zeros((128, 100, 3), np.uint8)
+    out = pad_slide(img, 64, 7)
+    assert out.shape == (192, 128, 3)  # 128 -> 192 (full extra patch)
+    assert out[0, 0, 0] == 7 and out[-1, -1, 0] == 7
+    # centered: 100 -> pad 28 -> 14 before / 14 after
+    assert out[100, 13, 0] == 7 and out[100, 14, 0] == 0
+
+    mask = np.ones((20, 20), bool)
+    mask[5:9, 5:9] = False  # 16-px hole
+    assert remove_small_holes(mask, 16, 8)[6, 6] == False  # noqa: E712
+    assert remove_small_holes(mask, 17, 8)[6, 6] == True  # noqa: E712
+
+
+def test_gen_patch_cli_reference_surface(tmp_path):
+    """The reference command line (cohort layout + all 12 flags,
+    ref :16-68,143-163) parses and runs end-to-end."""
+    import cv2
+
+    from mirror_tpu.tools.gen_patch import main
+
+    cohort_dir = tmp_path / "wsi" / "TCGA_X"
+    cohort_dir.mkdir(parents=True)
+    img = np.full((180, 200, 3), 255, np.uint8)
+    cv2.circle(img, (90, 90), 60, (160, 70, 150), -1)
+    cv2.imwrite(str(cohort_dir / "s1.png"), img)
+    out = tmp_path / "patches"
+    main([
+        "--input-dir", str(tmp_path / "wsi"), "--cohorts", "TCGA_X",
+        "--target-mag", "20", "--patch-size", "64", "--pad-value", "255",
+        "--blur-ksize", "7", "--close-ksize", "5", "--erode-ksize", "10",
+        "--area-small-holes", "128", "--min-size-small-objects", "128",
+        "--connectivity", "8", "--output-type", "jpeg",
+        "--output-dir", str(out),
+    ])
+    files = os.listdir(out / "TCGA_X" / "s1")
+    assert files and all(f.endswith(".jpeg") for f in files)
+
+
 def test_vit_matches_hf_transformers():
     """Our flax ViT-B/16 with converted weights must match HF ViTModel's CLS
     output on the same input (random-init HF model, no network needed)."""
