@@ -17,7 +17,11 @@ from .transmil import FeatureTransMIL
 
 
 class MIRRORClassifier(nn.Module):
-    wsi_embed_dim: int = 768
+    # wsi_embed_dim default = the 1024-d truncated-ResNet50 feature, matching
+    # the reference downstream default (FeatureTransMIL input_dim=1024,
+    # /root/reference/models/mirror.py:334-336; the reference classifier has
+    # no default at all and configs always set it).
+    wsi_embed_dim: int = 1024
     rna_embed_dim: int = 10234
     embed_dim: int = 768
     num_classes: int = 2
