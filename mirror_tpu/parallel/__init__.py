@@ -1,4 +1,4 @@
-from .mesh import create_mesh, shard_batch, replicate
+from .mesh import create_mesh, fit_mesh_to_batch, shard_batch, replicate
 from .distributed import (
     allgather_rows,
     assemble_global_batch,
@@ -9,7 +9,7 @@ from .distributed import (
 )
 
 __all__ = [
-    "create_mesh", "shard_batch", "replicate",
+    "create_mesh", "fit_mesh_to_batch", "shard_batch", "replicate",
     "allgather_rows", "assemble_global_batch", "host_local_rows",
     "local_block", "maybe_initialize", "process_info",
 ]

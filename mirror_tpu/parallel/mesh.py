@@ -59,6 +59,35 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def fit_mesh_to_batch(mesh: Mesh, batch_size: int) -> Mesh:
+    """Shrink a data-parallel mesh so ``batch_size`` divides it.
+
+    Few-shot fine-tuning clamps the batch below the chip count (a 2-shot
+    support set is <= 2*num_classes samples; the reference's power-of-2
+    clamp at train_subtyping.py:935-939 then runs it on its single GPU).
+    On a TPU slice the exact equivalent is data parallelism over the
+    largest divisor of the clamped batch — gcd(batch, n_devices) chips —
+    leaving the rest idle for the (seconds-long) probe rather than
+    changing semantics by padding or resampling. Single-process only:
+    multi-host meshes must keep every process's devices."""
+    import math
+
+    n = mesh.devices.size
+    if batch_size % n == 0:
+        return mesh
+    if jax.process_count() > 1:
+        raise SystemExit(
+            f"batch_size {batch_size} must divide over {n} devices "
+            "(cannot shrink a multi-process mesh)"
+        )
+    d = math.gcd(batch_size, n)
+    model_parallel = mesh.shape.get("model", 1)
+    sub = create_mesh(num_devices=d * model_parallel,
+                      model_parallel=model_parallel,
+                      devices=list(mesh.devices.flat))
+    return sub
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -229,6 +229,7 @@ def extract_features(
     skip_existing: bool = True,
     use_pallas: bool = False,
     quant=None,
+    extractor=None,
 ) -> dict:
     import jax
 
@@ -239,8 +240,10 @@ def extract_features(
         batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
         _logger.info("rounded batch size up to %d (multiple of %d devices)",
                      batch_size, n_dev)
-    fn, dim = build_extractor(model_name, checkpoint, use_pallas=use_pallas,
-                              quant=quant)
+    # a prebuilt (fn, dim) lets callers reuse one compiled backbone across
+    # calls (scripts/bench_featgen_e2e.py warms the jit, then times a run)
+    fn, dim = extractor or build_extractor(
+        model_name, checkpoint, use_pallas=use_pallas, quant=quant)
     slides = list_slides(patch_root)[fold::k]
     _logger.info("%d slides (shard %d/%d)", len(slides), fold, k)
     total_patches = 0

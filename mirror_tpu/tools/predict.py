@@ -117,6 +117,16 @@ def predict(
         os.path.join(wsi_feature_dir, f)
         for f in list_feature_files(wsi_feature_dir)
     ]
+    if not files:
+        # subtyping cohorts live in a class layout ({root}/{class}/{slide});
+        # score every class subdir so users can point at the cohort root
+        for sub in sorted(os.listdir(wsi_feature_dir)):
+            subdir = os.path.join(wsi_feature_dir, sub)
+            if os.path.isdir(subdir):
+                files += [
+                    os.path.join(subdir, f)
+                    for f in list_feature_files(subdir)
+                ]
     if rna_df is not None:
         kept = [f for f in files
                 if os.path.basename(f).split(".")[0][:15] in rna_df.index]

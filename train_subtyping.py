@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from mirror_tpu.config import parse_args, resolve_lr, resolve_use_pallas
 from mirror_tpu.data import Loader, SubtypingDataset
-from mirror_tpu.parallel import replicate
+from mirror_tpu.parallel import fit_mesh_to_batch, replicate
 from mirror_tpu.registry import create_model
 from mirror_tpu.train import (
     CheckpointSaver,
@@ -137,7 +137,14 @@ def main(argv=None):
     dataset.train()
     batch_size = clamp_batch_size(args.batch_size, len(dataset))
     if batch_size % n_devices:
-        raise SystemExit(f"batch_size {batch_size} must divide over {n_devices} devices")
+        # few-shot support sets clamp the batch below the chip count; run
+        # data-parallel over the largest divisor instead of failing
+        mesh = fit_mesh_to_batch(mesh, batch_size)
+        n_devices = mesh.devices.size
+        _logger.warning(
+            "batch %d does not divide the slice; using %d of %d devices",
+            batch_size, n_devices, len(jax.devices()),
+        )
     train_loader = Loader(
         dataset, batch_size, shuffle=not args.weighted_sampler,
         drop_last=args.drop_last, weighted=args.weighted_sampler, seed=args.seed,
