@@ -148,7 +148,14 @@ def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat1
 
         raw = jax.jit(lambda v, imgs: model.apply(v, device_normalize(imgs)))
         if not data_parallel or len(jax.devices()) == 1:
-            return lambda imgs: raw(variables, imgs)
+            fn = lambda imgs: raw(variables, imgs)
+            # Exposed for benchmarks that re-trace the apply inside their own
+            # jit (e.g. a lax.scan timing chain): passing `variables` as a jit
+            # ARGUMENT keeps the weights out of the serialized HLO — tracing
+            # through the closure would embed ~86M params as literal
+            # constants, which overflows the remote-compile request limit.
+            fn.raw, fn.variables = raw, variables
+            return fn
         mesh = create_mesh()
         shard = batch_sharding(mesh)
         variables = replicate(mesh, variables)

@@ -9,11 +9,14 @@ production `extract_features` loop, and prints ONE JSON line.
 Companion numbers that bound it:
 - host_decode_patches_per_s: the stream consumed with no device work
   (decode+stack+pad only) — the host ceiling.
-- device_patches_per_s: the jitted backbone on one resident uint8 batch,
-  including the per-batch [B, D] feature pull, in a dependent chain — the
-  device ceiling (this is the 4,130 patches/s figure's methodology).
-- e2e is ~min(host, device) under the double-buffered queue; busy fractions
-  say which side binds.
+- device_compute_patches_per_s: the jitted backbone on one device-RESIDENT
+  uint8 batch, N reps inside one jit via carry-dependent lax.scan, one
+  scalar pull — the device ceiling (the 4,130 patches/s methodology).
+- ship_mb_per_s / ship_patches_per_s: host->device transfer of the uint8
+  batch. On this dev rig that is the axon tunnel (~20-40 MB/s) and binds
+  the loop; on a real v5e host it is PCIe and overlaps compute.
+- e2e is ~min(host, ship, compute) under the double-buffered queue; busy
+  fractions say which side binds.
 
 v5e-8 extrapolation (stated assumptions, per BASELINE.md's feed-plan memo):
 this benchmark host exposes 1 CPU core (threaded decode does NOT scale
@@ -117,14 +120,66 @@ def main():
         seen += n_valid
     host_rate = seen / (time.time() - t0)
 
-    # ---- device ceiling: resident batch, dependent-free timed calls with
-    # the [B, D] pull each rep (matches the production loop's np.asarray) ----
+    # ---- device side, decomposed. On this dev rig the chip sits behind an
+    # axon tunnel (~20 MB/s), so "ship a 38 MB uint8 batch" dominates and
+    # would masquerade as device time; a real v5e host ships over PCIe
+    # (~10 GB/s, negligible). Measure the three pieces separately:
+    #   ship:    host->device transfer of the uint8 batch
+    #   compute: backbone on a device-RESIDENT batch, synced by pulling ONE
+    #            scalar element per rep (a full [B, D] pull re-enters the
+    #            tunnel; block_until_ready alone can return early through it)
+    #   loop:    ship + compute + [B, D] pull, what this rig's e2e loop sees
+    import jax
+
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+
     warm = batch  # last batch from the stream, uint8 [B, 224, 224, 3]
-    np.asarray(fn(warm))  # compile
+    resident = jax.device_put(warm)
+
+    # Sync each ship by pulling one scalar FROM the shipped array — through
+    # the tunnel, `block_until_ready` on the put alone can return before
+    # delivery completes (CLAUDE.md), which reads as GB/s fantasy bandwidth.
+    # The scalar pull adds one RTT (~30 ms) per rep; still honest at MB scale.
+    t0 = time.time()
+    for _ in range(a.device_reps):
+        float(jax.device_put(warm)[0, 0, 0, 0])
+    ship_s = (time.time() - t0) / a.device_reps
+    ship_mb_s = warm.nbytes / 1e6 / ship_s
+
+    # N backbone steps inside ONE jit (lax.scan, carry-dependent input so
+    # the loop body can't be hoisted), one scalar pull at the end — pays the
+    # tunnel RTT once instead of once per rep. The weights MUST be a jit
+    # argument (fn.raw/fn.variables): tracing through the `fn` closure embeds
+    # all ~86M ViT params as HLO literal constants, and the serialized
+    # program then exceeds the remote-compile service's request-size limit
+    # (HTTP 413 through the axon tunnel).
+    raw, variables = getattr(fn, "raw", None), getattr(fn, "variables", None)
+    if raw is not None:
+        resident_v = jax.device_put(variables)
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def chain(v, images, n):
+            def body(c, _):
+                feats = raw(v, jnp.roll(images, c, axis=0))
+                return (feats[0, :8].sum() > 0).astype(jnp.int32), ()
+            c, _ = lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+
+        float(chain(resident_v, resident, a.device_reps))  # compile
+        t0 = time.time()
+        s = float(chain(resident_v, resident, a.device_reps))
+        compute_rate = a.device_reps * a.batch_size / (time.time() - t0)
+        assert np.isfinite(s)
+    else:  # multi-device wrapper: no chain hook; per-rep loop is the proxy
+        compute_rate = None
+
     t0 = time.time()
     for _ in range(a.device_reps):
         out = np.asarray(fn(warm))
-    device_rate = a.device_reps * a.batch_size / (time.time() - t0)
+    loop_rate = a.device_reps * a.batch_size / (time.time() - t0)
     assert np.isfinite(out).all()
 
     # ---- e2e: the production extract_features loop (decode -> ship ->
@@ -142,7 +197,21 @@ def main():
         assert f.shape[1] == dim
 
     host_cores = os.cpu_count() or 1
-    extrap = min(host_rate * host_cores, device_rate * 8)
+    # Extrapolation uses the RESIDENT compute rate: on a real v5e host the
+    # PCIe ship (~4 ms for 38 MB) overlaps with compute and is never the
+    # binding term; the tunnel ship is a dev-rig artifact.
+    if compute_rate is None:
+        compute_rate = loop_rate  # conservative proxy (includes ship+pull)
+    extrap = min(host_rate * host_cores, compute_rate * 8)
+    ship_rate = a.batch_size / ship_s
+    ceilings = {"host-decode": host_rate, "ship": ship_rate,
+                "device-compute": compute_rate}
+    bound_by = min(ceilings, key=ceilings.get)
+    if e2e < 0.6 * min(ceilings.values()):
+        # e2e well below every ceiling: the binder is the serialized
+        # per-batch tunnel round-trips (ship + [B, D] feature pull), a
+        # dev-rig artifact — see device_loop_patches_per_s.
+        bound_by = "tunnel-rtt-serialization (dev-rig artifact)"
     result = {
         "metric": "featgen_e2e",
         "value": round(e2e, 1),
@@ -151,16 +220,20 @@ def main():
         "batch_size": a.batch_size,
         "model": a.model,
         "host_decode_patches_per_s": round(host_rate, 1),
-        "device_patches_per_s": round(device_rate, 1),
+        "device_compute_patches_per_s": round(compute_rate, 1),
+        "ship_mb_per_s": round(ship_mb_s, 1),
+        "ship_patches_per_s": round(a.batch_size / ship_s, 1),
+        "device_loop_patches_per_s": round(loop_rate, 1),
         "host_busy_fraction": round(min(e2e / host_rate, 1.0), 3),
-        "device_busy_fraction": round(min(e2e / device_rate, 1.0), 3),
-        "bound_by": "host" if host_rate < device_rate else "device",
+        "device_busy_fraction": round(min(e2e / compute_rate, 1.0), 3),
+        "bound_by": bound_by,
         "host_cores": host_cores,
         "v5e8_extrapolated_patches_per_s": round(extrap, 1),
         "extrapolation_assumptions": (
-            "decode ~linear in host cores (independent JPEGs), backbone "
-            "~linear over 8 chips (data-parallel batch shard); "
-            "= min(host*cores, device*8)"
+            "decode ~linear in host cores (independent JPEGs); backbone "
+            "~linear over 8 chips (data-parallel batch shard); PCIe ship "
+            "overlaps compute on real hosts (tunnel ship here is a dev-rig "
+            "artifact); = min(host*cores, resident_compute*8)"
         ),
     }
     print(json.dumps(result))
