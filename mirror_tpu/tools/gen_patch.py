@@ -40,7 +40,7 @@ import argparse
 import glob
 import logging
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np
