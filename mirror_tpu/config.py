@@ -168,6 +168,13 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
                         "per-step timing (ref train_mirror.py:1286-1287)")
     g.add_argument("--profile", action="store_true", default=False,
                    help="write a jax.profiler trace of one epoch to the run dir")
+    g.add_argument("--model-parallel", type=int, default=1,
+                   help="TPU extension: shard the wide GEMMs (RNA embedding, "
+                        "retention head, prototypes, block MLPs) over a "
+                        "'model' mesh axis of this size (Megatron-style via "
+                        "GSPMD param shardings; parallel/tensor_parallel.py). "
+                        "Device count must be divisible by it; default 1 = "
+                        "pure data parallelism like the reference's DDP")
 
     # GPU/torch-only reference flags: accepted so reference command lines
     # parse unchanged (MIGRATION.md's contract), then dropped with a warning

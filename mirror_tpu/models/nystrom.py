@@ -323,15 +323,18 @@ class NystromAttention(nn.Module):
             # Expressed on the [b, n, h, dh] layout as an NHWC conv with
             # spatial dims (n, dh) and channel = h.
             kernel = self._res_kernel(h)
-            # NHWC: input [b, n, dh, h], kernel HWIO [K, 1, 1, h] (grouped)
+            # NHWC: input [b, n, dh, h], kernel HWIO [K, 1, 1, h] (grouped).
+            # depthwise_conv_nhwc == conv_general_dilated with
+            # feature_group_count=h, but with a GSPMD-safe weight gradient
+            # (XLA doubles grouped-conv kernel grads per unused mesh axis;
+            # ops/depthwise_xla.py)
+            from mirror_tpu.ops.depthwise_xla import depthwise_conv_nhwc
+
             cdt = self.dtype or jnp.float32
-            res = jax.lax.conv_general_dilated(
+            res = depthwise_conv_nhwc(
                 v.transpose(0, 1, 3, 2).astype(cdt),
                 kernel.transpose(2, 3, 1, 0).astype(cdt),
-                window_strides=(1, 1),
-                padding=((self.residual_conv_kernel // 2,) * 2, (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=h,
+                ((self.residual_conv_kernel // 2,) * 2, (0, 0)),
             ).transpose(0, 1, 3, 2).astype(out.dtype)
             out = out + res
 

@@ -102,13 +102,14 @@ class PPEG(nn.Module):
                 b_eff.astype(cdt),
             )
         else:
-            dw = jax.lax.conv_general_dilated(
-                img.astype(cdt),
-                k_eff.astype(cdt),
-                window_strides=(1, 1),
-                padding=((3, 3), (3, 3)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=c,
+            # GSPMD-safe depthwise conv: XLA mis-partitions grouped-conv
+            # WEIGHT gradients under a mesh axis the conv does not use
+            # (ops/depthwise_xla.py) — same math as conv_general_dilated
+            # with feature_group_count=c
+            from mirror_tpu.ops.depthwise_xla import depthwise_conv_nhwc
+
+            dw = depthwise_conv_nhwc(
+                img.astype(cdt), k_eff.astype(cdt), ((3, 3), (3, 3))
             )
             out = dw + b_eff.astype(cdt) + img
         out = out.reshape(b, h * w, c)

@@ -42,7 +42,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
+from mirror_tpu.ops._common import (
+    VMEM_LIMIT_WIDE,
+    spmd_wrap as _spmd_wrap,
+    use_interpret as _use_interpret,
+)
 
 ROW_TILE = 384  # divides the Nystrom padded lengths (2688, 2304)
 
@@ -234,10 +238,7 @@ def _bwd_call(v, kern, g):
 
 
 @jax.custom_vjp
-def depthwise_conv1d_seq(v, kern):
-    """SAME zero-padded depthwise conv along axis 2: out[..., i, :] =
-    sum_j kern[h, j] * v[..., i + j - K//2, :]. v: [b, h, n, d]; kern: [h, K]
-    (K odd, any n >= 1)."""
+def _depthwise_conv1d_seq(v, kern):
     return _fwd_call(v, kern)
 
 
@@ -251,4 +252,14 @@ def _vjp_bwd(res, g):
     return dv, dk
 
 
-depthwise_conv1d_seq.defvjp(_vjp_fwd, _vjp_bwd)
+_depthwise_conv1d_seq.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def depthwise_conv1d_seq(v, kern):
+    """SAME zero-padded depthwise conv along axis 2: out[..., i, :] =
+    sum_j kern[h, j] * v[..., i + j - K//2, :]. v: [b, h, n, d]; kern: [h, K]
+    (K odd, any n >= 1).
+
+    On a multi-device mesh the kernel runs shard_mapped over the batch with
+    the taps replicated (ops/_common.spmd_wrap)."""
+    return _spmd_wrap(_depthwise_conv1d_seq, v, kern, replicated=(1,))

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mirror_tpu.ops._common import use_interpret as _use_interpret
+from mirror_tpu.ops._common import spmd_wrap as _spmd_wrap, use_interpret as _use_interpret
 
 
 def _group_matrix(m, l, dtype, pad=0):
@@ -159,16 +159,7 @@ def _bwd_call(q, k, m, pad, gql, gkl, ga2):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def landmark_softmax(q, k, m, pad=0):
-    """(q_l, k_l, attn2) from head-major q, k [b, h, n, dh].
-
-    q_l/k_l: contiguous-group means over the virtually FRONT-PADDED
-    sequence of length n + pad (the pad rows are implicit zeros; the
-    divisor stays the group size l = (n + pad) // m), so the result equals
-    the reference's pad-then-mean without materializing the pad.
-    attn2 = softmax(q_l @ k_l^T) in the input dtype. n + pad must be a
-    multiple of m.
-    """
+def _landmark_softmax(q, k, m, pad=0):
     return _fwd_call(q, k, m, pad)
 
 
@@ -186,4 +177,21 @@ def _vjp_bwd(m, pad, res, gs):
     return dq, dk
 
 
-landmark_softmax.defvjp(_vjp_fwd, _vjp_bwd)
+_landmark_softmax.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def landmark_softmax(q, k, m, pad=0):
+    """(q_l, k_l, attn2) from head-major q, k [b, h, n, dh].
+
+    q_l/k_l: contiguous-group means over the virtually FRONT-PADDED
+    sequence of length n + pad (the pad rows are implicit zeros; the
+    divisor stays the group size l = (n + pad) // m), so the result equals
+    the reference's pad-then-mean without materializing the pad.
+    attn2 = softmax(q_l @ k_l^T) in the input dtype. n + pad must be a
+    multiple of m.
+
+    On a multi-device mesh the kernel runs shard_mapped over the batch
+    (ops/_common.spmd_wrap — Mosaic custom calls cannot be GSPMD-
+    partitioned).
+    """
+    return _spmd_wrap(lambda q, k: _landmark_softmax(q, k, m, pad), q, k)

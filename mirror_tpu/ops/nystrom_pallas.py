@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
+from mirror_tpu.ops._common import (
+    VMEM_LIMIT_WIDE,
+    spmd_wrap as _spmd_wrap,
+    use_interpret as _use_interpret,
+)
 
 from mirror_tpu.ops.conv1d_pallas import (
     _band_tiles_xla,
@@ -165,13 +169,7 @@ def _bwd_call(q, k, w, g, pad=0):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_softmax_attn(q, k, w, pad=0):
-    """softmax(q @ k^T over the c axis) @ w, fused per (batch, head).
-
-    q: [b, h, r, d]; k, w: [b, h, c, d] -> [b, h, r, d]. `pad` virtual
-    zero columns (zero k rows AND zero w rows) participate in the softmax
-    exactly as the reference's front-padded sequence (see _softmax_pad).
-    """
+def _fused_softmax_attn(q, k, w, pad=0):
     return _fwd_call(q, k, w, pad)
 
 
@@ -184,7 +182,21 @@ def _vjp_bwd(pad, residuals, g):
     return _bwd_call(q, k, w, g.astype(q.dtype), pad)
 
 
-fused_softmax_attn.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_softmax_attn.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_softmax_attn(q, k, w, pad=0):
+    """softmax(q @ k^T over the c axis) @ w, fused per (batch, head).
+
+    q: [b, h, r, d]; k, w: [b, h, c, d] -> [b, h, r, d]. `pad` virtual
+    zero columns (zero k rows AND zero w rows) participate in the softmax
+    exactly as the reference's front-padded sequence (see _softmax_pad).
+
+    On a multi-device mesh the kernel runs shard_mapped over the batch
+    (ops/_common.spmd_wrap — Mosaic custom calls cannot be GSPMD-
+    partitioned).
+    """
+    return _spmd_wrap(lambda q, k, w: _fused_softmax_attn(q, k, w, pad), q, k, w)
 
 
 def softmax_matmul_landmark_kv(q_l, k, v, pad=0):
@@ -323,16 +335,7 @@ def _bwd_conv_call(q, k_l, w, v, kern, g, pad=0):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_softmax_attn_conv(q, k_l, w, v, kern, pad=0):
-    """softmax(q @ k_l^T over m + pad virtual zero cols) @ w
-    + depthwise_conv1d_seq(v, kern), fused.
-
-    q, v: [b, h, n, d]; k_l, w: [b, h, m, d]; kern: [h, K] (K odd)
-    -> [b, h, n, d]. The conv is the SAME zero-padded 33-tap residual conv
-    of the Nystrom attention (ref nystrom_attention res_conv). The Nystrom
-    caller softmaxes over the m landmarks (never padded), so it passes
-    pad=0; `pad` exists so the softmax semantics stay identical to
-    fused_softmax_attn if this kernel is ever reused on a padded axis."""
+def _fused_softmax_attn_conv(q, k_l, w, v, kern, pad=0):
     return _fwd_conv_call(q, k_l, w, v, kern, pad)
 
 
@@ -345,4 +348,25 @@ def _vjp_conv_bwd(pad, residuals, g):
     return _bwd_conv_call(q, k_l, w, v, kern, g.astype(q.dtype), pad)
 
 
-fused_softmax_attn_conv.defvjp(_vjp_conv_fwd, _vjp_conv_bwd)
+_fused_softmax_attn_conv.defvjp(_vjp_conv_fwd, _vjp_conv_bwd)
+
+
+def fused_softmax_attn_conv(q, k_l, w, v, kern, pad=0):
+    """softmax(q @ k_l^T over m + pad virtual zero cols) @ w
+    + depthwise_conv1d_seq(v, kern), fused.
+
+    q, v: [b, h, n, d]; k_l, w: [b, h, m, d]; kern: [h, K] (K odd)
+    -> [b, h, n, d]. The conv is the SAME zero-padded 33-tap residual conv
+    of the Nystrom attention (ref nystrom_attention res_conv). The Nystrom
+    caller softmaxes over the m landmarks (never padded), so it passes
+    pad=0; `pad` exists so the softmax semantics stay identical to
+    fused_softmax_attn if this kernel is ever reused on a padded axis.
+
+    On a multi-device mesh the kernel runs shard_mapped over the batch
+    with the conv taps replicated (ops/_common.spmd_wrap)."""
+    return _spmd_wrap(
+        lambda q, k_l, w, v, kern: _fused_softmax_attn_conv(
+            q, k_l, w, v, kern, pad
+        ),
+        q, k_l, w, v, kern, replicated=(4,),
+    )

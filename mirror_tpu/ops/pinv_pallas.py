@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mirror_tpu.ops._common import use_interpret as _use_interpret
+from mirror_tpu.ops._common import spmd_wrap as _spmd_wrap, use_interpret as _use_interpret
 
 
 def _dot(a, b):
@@ -245,10 +245,14 @@ def moore_penrose_pinv_pallas(
     """
     if grad not in ("exact", "implicit"):
         raise ValueError(f"pinv grad must be 'exact' or 'implicit', got {grad!r}")
+    # the GLOBAL-max scale (reference quirk: one scalar over the whole
+    # [b, h, m, m] tensor) stays in XLA so it reduces over the FULL batch
+    # even when the kernel itself runs shard_mapped per data shard
     abs_x = jnp.abs(x)
     col = jnp.sum(abs_x, axis=-1)
     row = jnp.sum(abs_x, axis=-2)
     s = (jnp.max(col) * jnp.max(row)).astype(jnp.float32)
-    if grad == "implicit":
-        return _pinv_core_implicit(x, s, iters)
-    return _pinv_core(x, s, iters)
+    core = _pinv_core_implicit if grad == "implicit" else _pinv_core
+    return _spmd_wrap(
+        lambda x, s: core(x, s, iters), x, s, replicated=(1,)
+    )

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
+from mirror_tpu.ops._common import (
+    VMEM_LIMIT_WIDE,
+    spmd_wrap as _spmd_wrap,
+    use_interpret as _use_interpret,
+)
 
 K = 7  # merged pyramid kernel size (7x7 holds 7/5/3)
 
@@ -152,9 +156,7 @@ def _bwd_call(img, kern, g):
 
 
 @jax.custom_vjp
-def ppeg_fused(img, kern, bias):
-    """out = img + bias + SAME depthwise 7x7 conv of img with per-channel
-    taps. img [b, H, W, C]; kern [7, 7, C]; bias [C]."""
+def _ppeg_fused(img, kern, bias):
     return _fwd_call(img, kern, bias)
 
 
@@ -168,4 +170,15 @@ def _vjp_bwd(res, g):
     return dimg, dk, db
 
 
-ppeg_fused.defvjp(_vjp_fwd, _vjp_bwd)
+_ppeg_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def ppeg_fused(img, kern, bias):
+    """out = img + bias + SAME depthwise 7x7 conv of img with per-channel
+    taps. img [b, H, W, C]; kern [7, 7, C]; bias [C].
+
+    On a multi-device mesh the kernel runs shard_mapped over the batch with
+    the taps/bias replicated (ops/_common.spmd_wrap — Mosaic custom calls
+    cannot be GSPMD-partitioned); dkern/dbias psum across shards via the
+    shard_map transpose of the replicated in_spec."""
+    return _spmd_wrap(_ppeg_fused, img, kern, bias, replicated=(1, 2))

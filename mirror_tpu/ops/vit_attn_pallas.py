@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mirror_tpu.ops._common import VMEM_LIMIT_WIDE, use_interpret as _use_interpret
+from mirror_tpu.ops._common import (
+    VMEM_LIMIT_WIDE,
+    spmd_wrap as _spmd_wrap,
+    use_interpret as _use_interpret,
+)
 
 
 def _kernel(heads: int, dh: int, scale: float, q_ref, k_ref, v_ref, o_ref):
@@ -51,7 +55,7 @@ def _kernel(heads: int, dh: int, scale: float, q_ref, k_ref, v_ref, o_ref):
         o_ref[:, :, sl] = out.astype(o_ref.dtype)
 
 
-def mha_natural(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
+def _mha_natural(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
     """softmax(q k^T / sqrt(dh)) v over ``heads`` head-slices of the last dim.
 
     q, k, v: [b, n, d_model] straight out of the projection GEMMs (no
@@ -136,8 +140,8 @@ def _attn_block_kernel(g: int, heads: int, dh: int, scale: float, eps: float,
         o_ref[i] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
 
 
-def attn_block(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo, heads: int,
-               eps: float = 1e-12) -> jax.Array:
+def _attn_block(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo, heads: int,
+                eps: float = 1e-12) -> jax.Array:
     """x + out_proj(mha(qkv_proj(layernorm(x)))) — the full pre-LN attention
     half-block in one program.
 
@@ -203,7 +207,7 @@ def _mlp_block_kernel(g: int, eps: float, x_ref, lns_ref, lnb_ref,
         o_ref[i] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
 
 
-def mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, eps: float = 1e-12) -> jax.Array:
+def _mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, eps: float = 1e-12) -> jax.Array:
     """x + fc2(gelu(fc1(layernorm(x)))) — the full pre-LN MLP half-block in
     one program, exact-erf GELU evaluated in fp32 in VMEM.
 
@@ -233,3 +237,34 @@ def mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, eps: float = 1e-12) -> jax.Array:
             transcendentals=b * n * m,
         ),
     )(x, ln_s, ln_b, w1, b1, w2, b2)
+
+
+def mha_natural(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
+    """Public entry for the natural-layout attention kernel; on a
+    multi-device mesh it runs shard_mapped over the batch
+    (ops/_common.spmd_wrap — Mosaic custom calls cannot be
+    GSPMD-partitioned). See _mha_natural for the kernel contract."""
+    return _spmd_wrap(lambda q, k, v: _mha_natural(q, k, v, heads), q, k, v)
+
+
+def attn_block(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo, heads: int,
+               eps: float = 1e-12) -> jax.Array:
+    """Public entry for the attention half-block kernel; weights replicated,
+    batch shard_mapped over a multi-device mesh (ops/_common.spmd_wrap).
+    See _attn_block for the kernel contract."""
+    return _spmd_wrap(
+        lambda x, *w: _attn_block(x, *w, heads, eps),
+        x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo,
+        replicated=(1, 2, 3, 4, 5, 6, 7, 8),
+    )
+
+
+def mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, eps: float = 1e-12) -> jax.Array:
+    """Public entry for the MLP half-block kernel; weights replicated,
+    batch shard_mapped over a multi-device mesh (ops/_common.spmd_wrap).
+    See _mlp_block for the kernel contract."""
+    return _spmd_wrap(
+        lambda x, *w: _mlp_block(x, *w, eps),
+        x, ln_s, ln_b, w1, b1, w2, b2,
+        replicated=(1, 2, 3, 4, 5, 6),
+    )

@@ -85,6 +85,11 @@ def fit_mesh_to_batch(mesh: Mesh, batch_size: int) -> Mesh:
     sub = create_mesh(num_devices=d * model_parallel,
                       model_parallel=model_parallel,
                       devices=list(mesh.devices.flat))
+    # keep the Pallas layer's shard_map mesh in sync with the shrunk mesh
+    from mirror_tpu.ops._common import active_spmd_mesh, set_spmd_mesh
+
+    if active_spmd_mesh() is not None:
+        set_spmd_mesh(sub)
     return sub
 
 

@@ -157,6 +157,11 @@ def build_extractor(model_name: str, checkpoint: str = "", dtype: str = "bfloat1
             fn.raw, fn.variables = raw, variables
             return fn
         mesh = create_mesh()
+        # the ViT half-block kernels must shard_map over the batch on a
+        # multi-chip mesh (ops/_common.spmd_wrap)
+        from mirror_tpu.ops._common import set_spmd_mesh
+
+        set_spmd_mesh(mesh)
         shard = batch_sharding(mesh)
         variables = replicate(mesh, variables)
         n_dev = mesh.devices.size

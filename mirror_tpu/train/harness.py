@@ -435,7 +435,13 @@ def common_setup(args, task: str):
     # after this jax.devices() spans every host
     maybe_initialize(args)
     rng = random_seed(args.seed)
-    mesh = create_mesh()
+    mesh = create_mesh(model_parallel=getattr(args, "model_parallel", 1))
+    # register the mesh with the Pallas layer: on >1 device every kernel
+    # entry point shard_maps itself over the batch (Mosaic custom calls
+    # cannot be GSPMD-partitioned under plain jit — ops/_common.spmd_wrap)
+    from mirror_tpu.ops._common import set_spmd_mesh
+
+    set_spmd_mesh(mesh)
     _logger.info(
         "MIRROR-TPU %s: process %d/%d, %d device(s), mesh %s", task,
         jax.process_index(), jax.process_count(), len(jax.devices()),

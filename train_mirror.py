@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from mirror_tpu.config import parse_args, resolve_lr, resolve_use_pallas
 from mirror_tpu.data import Loader, PretrainDataset
 from mirror_tpu.losses import MirrorLossWeights
-from mirror_tpu.parallel import allgather_rows, replicate, shard_batch
+from mirror_tpu.parallel import allgather_rows, shard_batch, shard_state
 from mirror_tpu.registry import create_model
 from mirror_tpu.train import (
     CheckpointSaver,
@@ -119,7 +119,7 @@ def main(argv=None):
         args.start_epoch = start_epoch
         if lr_controller is not None and not args.no_resume_opt:
             lr_controller.sync_from_state(state)
-    state = replicate(mesh, state)
+    state = shard_state(mesh, state)  # TP-aware; == replicate at model_parallel 1
 
     loss_weights = MirrorLossWeights(
         alignment=float((args.loss_kwargs or {}).get("alignment_loss_weight", 0.5)),

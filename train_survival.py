@@ -17,7 +17,7 @@ import numpy as np
 from mirror_tpu.config import parse_args, resolve_lr, resolve_use_pallas
 from mirror_tpu.data import Loader, SurvivalDataset
 from mirror_tpu.losses import ce_surv_loss, nll_surv_loss
-from mirror_tpu.parallel import fit_mesh_to_batch, replicate
+from mirror_tpu.parallel import fit_mesh_to_batch, shard_state
 from mirror_tpu.registry import create_model
 from mirror_tpu.train import (
     CheckpointSaver,
@@ -145,7 +145,7 @@ def main(argv=None):
         args.start_epoch = start_epoch
         if lr_controller is not None and not args.no_resume_opt:
             lr_controller.sync_from_state(state)
-    state = replicate(mesh, state)
+    state = shard_state(mesh, state)  # TP-aware; == replicate at model_parallel 1
 
     train_step = make_survival_train_step(
         model, tx, loss_name=args.loss, loss_alpha=args.loss_alpha,
