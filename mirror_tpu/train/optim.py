@@ -431,6 +431,89 @@ def _no_decay_mask(params) -> Any:
     return jax.tree.map(lambda p: p.ndim > 1, params)
 
 
+# timm's AGC dispatch passes model_parameters(model, exclude_head=True) =
+# list(model.parameters())[:-2] — the LAST TWO torch parameters in
+# registration order are never clipped. What those are per model follows
+# from the reference's __init__ order (a heuristic quirk on non-timm
+# models, reproduced exactly):
+# - MIRROR registers ... style_decoder, prototypes(bias-free) last
+#   (/root/reference/models/mirror.py:789-828) -> style_decoder.bias and
+#   prototypes.weight escape clipping;
+# - MIRRORClassifier registers head last (ref :993-996) -> head.weight/bias
+#   (the intended "exclude the classifier head" semantics);
+# - mirror_dual (our extension, models/dual.py) -> its rna_projection.
+# The union is safe: each model only contains its own leaves.
+_AGC_EXCLUDE = (
+    ("style_decoder", "bias"),
+    ("prototypes", "kernel"),
+    ("head", "kernel"),
+    ("head", "bias"),
+    ("rna_projection", "kernel"),
+    ("rna_projection", "bias"),
+)
+
+
+def _agc_unitwise_norm(leaf_name: str, x) -> Any:
+    """timm's unitwise_norm computes the L2 norm over every axis except
+    torch dim 0 (one norm per output unit). Through the checkpoint
+    converter's layout map (tools/import_torch_checkpoint.py) torch dim 0
+    is the LAST flax axis for ``kernel`` leaves (dense [in, out] and conv
+    HWIO [kh, kw, 1, C] both transpose) and axis 0 for everything stored
+    layout-identically (res_conv_kernel [h, 1, K, 1], cls/mask tokens,
+    position embeds); 0/1-D tensors take the whole-tensor norm."""
+    if x.ndim <= 1:
+        return jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2))
+    axes = (
+        tuple(range(x.ndim - 1)) if leaf_name == "kernel"
+        else tuple(range(1, x.ndim))
+    )
+    return jnp.sqrt(
+        jnp.sum(x.astype(jnp.float32) ** 2, axis=axes, keepdims=True)
+    )
+
+
+def adaptive_grad_clip(
+    clip_factor: float, eps: float = 1e-3
+) -> optax.GradientTransformation:
+    """timm ``dispatch_clip_grad(mode="agc")`` == timm.utils.agc
+    .adaptive_clip_grad: per output unit, when |g| >= clip_factor *
+    max(|p|, eps), rescale g to clip_factor * max(|p|, eps) * g / max(|g|,
+    1e-6). The reference reaches it via ``--clip-grad X --clip-mode agc``
+    (/root/reference/train_mirror.py:1223-1230); the last-two-parameters
+    head exclusion rides along (``_AGC_EXCLUDE``). Torch-golden:
+    tests/test_optim_agc.py."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "agc needs params"
+
+        def clip(path, g, p):
+            names = tuple(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            if any(
+                names[-len(s):] == s for s in _AGC_EXCLUDE
+            ):
+                return g
+            p_norm = jnp.maximum(_agc_unitwise_norm(names[-1], p), eps)
+            g_norm = _agc_unitwise_norm(names[-1], g)
+            max_norm = p_norm * clip_factor
+            clipped = g * (
+                max_norm / jnp.maximum(g_norm, 1e-6)
+            ).astype(g.dtype)
+            return jnp.where(g_norm < max_norm, g, clipped)
+
+        return (
+            jax.tree_util.tree_map_with_path(clip, updates, params),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _timm_layer_map(
     names, head_prefixes=None, layers_per_group: int = 12
 ) -> Dict[str, int]:
@@ -538,6 +621,8 @@ def make_optimizer(
             chain.append(optax.clip_by_global_norm(args.clip_grad))
         elif args.clip_mode == "value":
             chain.append(optax.clip(args.clip_grad))
+        elif args.clip_mode == "agc":
+            chain.append(adaptive_grad_clip(args.clip_grad))
         else:
             raise ValueError(f"unknown clip_mode {args.clip_mode}")
 

@@ -17,3 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_spmd_mesh():
+    """The harness registers the SPMD mesh for the Pallas layer as process
+    state (ops/_common.set_spmd_mesh). Tests that drive the CLIs would leak
+    it into later kernel tests whose batches don't divide 8 devices."""
+    yield
+    from mirror_tpu.ops._common import set_spmd_mesh
+
+    set_spmd_mesh(None)

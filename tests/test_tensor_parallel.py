@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mirror_tpu.losses import MirrorLossWeights, mirror_loss
 from mirror_tpu.ops._common import set_spmd_mesh
