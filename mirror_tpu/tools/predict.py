@@ -138,6 +138,33 @@ def predict(
         raise SystemExit(f"no usable feature files under {wsi_feature_dir}")
 
     rng = np.random.default_rng(seed)
+    # Multi-chip hosts: score data-parallel over every chip. Registering the
+    # mesh is also REQUIRED for correctness there — a checkpoint trained
+    # with the Pallas kernels rebuilds with them, and Mosaic custom calls
+    # only lower for >1 device inside the kernels' shard_map
+    # (ops/_common.spmd_wrap).
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from mirror_tpu.ops._common import set_spmd_mesh
+        from mirror_tpu.parallel import create_mesh
+        from mirror_tpu.parallel.mesh import batch_sharding
+
+        mesh = create_mesh()
+        set_spmd_mesh(mesh)
+        if batch_size % n_dev:
+            batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+            _logger.info(
+                "rounded batch size up to %d (multiple of %d devices)",
+                batch_size, n_dev,
+            )
+        batch_shard = batch_sharding(mesh)
+
+    def to_device(arr):
+        if mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(arr, batch_shard)
+
     if whole_slide:
         from mirror_tpu.models.classifier import MIRRORClassifier
         from mirror_tpu.parallel import create_mesh
@@ -146,7 +173,7 @@ def predict(
             wrap_pad_square,
         )
 
-        mesh = create_mesh()
+        cp_mesh = mesh if mesh is not None else create_mesh()
         ws_dtype = getattr(model, "dtype", None) or jnp.float32
         # jit caches one compiled program per distinct PADDED token count;
         # without it the encoder runs op-by-op (each dispatch pays the
@@ -155,7 +182,7 @@ def predict(
         # the cache is keyed by ceil(sqrt(n)) — same math (the encoder's
         # own pad hoisted out), far fewer compiles over a cohort.
         encode_cp = jax.jit(
-            lambda p, toks: transmil_encode_cp(p, toks, mesh, dtype=ws_dtype)
+            lambda p, toks: transmil_encode_cp(p, toks, cp_mesh, dtype=ws_dtype)
         )
         fwd = jax.jit(
             lambda p, wsi_cls, rna: model.apply(
@@ -200,8 +227,8 @@ def predict(
             wsi += [wsi[-1]] * (batch_size - n_valid)
             if rna:
                 rna += [rna[-1]] * (batch_size - n_valid)
-        wsi_arr = jnp.asarray(np.stack(wsi))
-        rna_arr = jnp.asarray(np.stack(rna)) if rna else None
+        wsi_arr = to_device(np.stack(wsi))
+        rna_arr = to_device(np.stack(rna)) if rna else None
         logits = np.asarray(fwd(params, wsi_arr, rna_arr))[:n_valid]
         for f, lg in zip(chunk, logits):
             sid = os.path.basename(f).split(".")[0]

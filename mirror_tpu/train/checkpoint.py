@@ -35,7 +35,22 @@ EXT_ORBAX = ".orbax"
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def get(x: Any) -> np.ndarray:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # multi-host + tensor-parallel state: a model-sharded leaf has
+            # shards on other hosts, so np.asarray would raise. Re-replicate
+            # over the same mesh (XLA all-gathers across hosts), then read
+            # the local copy. Pure-DP multi-host state is replicated and
+            # never takes this branch.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh = x.sharding.mesh
+            x = jax.jit(
+                lambda a: a, out_shardings=NamedSharding(mesh, PartitionSpec())
+            )(x)
+        return np.asarray(x)
+
+    return jax.tree.map(get, tree)
 
 
 def save_checkpoint_file(

@@ -169,6 +169,28 @@ for lb, rb in zip(local_batches, ref_batches):
 state = replicate(mesh, {"w": np.arange(4.0, dtype=np.float32)})
 out = float(jax.jit(lambda s, t: jnp.sum(s["w"]) + jnp.sum(t["x"]))(
     state, shard_batch(mesh, local_batches[-1])))
+
+# tensor-parallel state across hosts: a (data=2, model=2) mesh spanning both
+# processes, an "mlp/fc1" kernel column-sharded over "model" -> the leaf is
+# NOT fully addressable per process, so the checkpoint host-copy must take
+# its re-replicating gather branch (train/checkpoint._to_host)
+from mirror_tpu.parallel import shard_state
+from mirror_tpu.train.checkpoint import _to_host
+
+mesh_tp = create_mesh(model_parallel=2)
+host_tree = {"mlp": {"fc1": {"kernel":
+    np.arange(24.0, dtype=np.float32).reshape(3, 8)}}}
+tp_tree = shard_state(mesh_tp, host_tree)
+leaf = tp_tree["mlp"]["fc1"]["kernel"]
+assert "model" in str(leaf.sharding.spec), leaf.sharding
+assert not leaf.is_fully_addressable
+np.testing.assert_array_equal(
+    _to_host(tp_tree)["mlp"]["fc1"]["kernel"],
+    host_tree["mlp"]["fc1"]["kernel"],
+)
+y = jax.jit(lambda t: jnp.sum(t["mlp"]["fc1"]["kernel"] ** 2))(tp_tree)
+assert float(y) == float((host_tree["mlp"]["fc1"]["kernel"] ** 2).sum())
+
 print("TWO_PROC_OK", proc_id, out, flush=True)
 """
 
