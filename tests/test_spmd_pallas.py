@@ -254,6 +254,61 @@ def test_mirror_eval_step_sharded_matches_single(mesh8):
         )
 
 
+def test_full_model_lowers_for_tpu_multidevice(mesh8, monkeypatch):
+    """Cross-lower the full pallas-path value_and_grad for the TPU platform
+    over the 8-device mesh with interpret mode forced OFF — the Mosaic
+    custom calls must survive lowering (the exact stage where unwrapped
+    multi-device Pallas dies). Also pins that the UNWRAPPED path still
+    raises jax's NotImplementedError, so the wrap stays justified."""
+    import mirror_tpu.ops as ops_pkg
+    from mirror_tpu.losses import MirrorLossWeights, mirror_loss
+    from jax.sharding import NamedSharding
+
+    for mod in ("conv1d_pallas", "landmark_pallas", "pinv_pallas",
+                "nystrom_pallas", "ppeg_pallas", "vit_attn_pallas"):
+        m = __import__(f"mirror_tpu.ops.{mod}", fromlist=["_use_interpret"])
+        monkeypatch.setattr(m, "_use_interpret", lambda: False)
+
+    model = _tiny_mirror()
+    rngs = _rngs(0)
+    weights = MirrorLossWeights(0.5, 0.15, 0.15, 0.1, 0.1)
+    wsi_a = jax.ShapeDtypeStruct((16, 16, 32), jnp.float32)
+    rna_a = jax.ShapeDtypeStruct((16, 96), jnp.float32)
+    pshape = jax.eval_shape(
+        lambda r, w, x: model.init(r, w, x, 0.75, 0.75, True), rngs, wsi_a, rna_a
+    )
+    data = NamedSharding(mesh8, jax.sharding.PartitionSpec("data"))
+    repl = NamedSharding(mesh8, jax.sharding.PartitionSpec())
+    wsi_s = jax.ShapeDtypeStruct((16, 16, 32), jnp.float32, sharding=data)
+    rna_s = jax.ShapeDtypeStruct((16, 96), jnp.float32, sharding=data)
+    params_s = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl),
+        pshape["params"],
+    )
+
+    def loss(p, wsi, rna):
+        out = model.apply(
+            {"params": p}, wsi, rna, 0.75, 0.75, True, rngs=rngs
+        )
+        return mirror_loss(*out, weights=weights)[0]
+
+    set_spmd_mesh(None)
+    with pytest.raises(NotImplementedError, match="shard_map"):
+        jax.jit(jax.value_and_grad(loss)).trace(params_s, wsi_s, rna_s).lower(
+            lowering_platforms=("tpu",)
+        )
+
+    set_spmd_mesh(mesh8)
+    try:
+        lowered = jax.jit(jax.value_and_grad(loss)).trace(
+            params_s, wsi_s, rna_s
+        ).lower(lowering_platforms=("tpu",))
+    finally:
+        set_spmd_mesh(None)
+    n_mosaic = lowered.as_text().count("tpu_custom_call")
+    assert n_mosaic >= 20, n_mosaic  # fwd+bwd kernels of 3 layers + PPEG
+
+
 def test_mirror_train_step_sharded_pallas_runs(mesh8):
     """Full pallas-path train step (grads + adam + renorm + clamp) over the
     8-device mesh — the exact path a real v5e-8 takes (which plain jit
