@@ -175,6 +175,13 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
                         "GSPMD param shardings; parallel/tensor_parallel.py). "
                         "Device count must be divisible by it; default 1 = "
                         "pure data parallelism like the reference's DDP")
+    g.add_argument("--optimizer-sharding", action="store_true", default=False,
+                   help="TPU extension (ZeRO-1): shard optimizer + EMA state "
+                        "over the 'data' mesh axis instead of replicating it "
+                        "per chip (parallel/tensor_parallel.py::shard_state). "
+                        "Frees ~2x param bytes of fp32 Adam moments per chip "
+                        "for one update all-gather per step; no effect on a "
+                        "single device")
 
     # GPU/torch-only reference flags: accepted so reference command lines
     # parse unchanged (MIGRATION.md's contract), then dropped with a warning

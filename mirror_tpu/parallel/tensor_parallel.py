@@ -88,13 +88,48 @@ def param_spec(path, leaf, model_parallel: int) -> P:
     return P()
 
 
-def shard_state(mesh: Mesh, tree: Any) -> Any:
+# TrainState fields whose leaves ZeRO-1 shards over ``data``: the Adam
+# moments / grad-accumulation buffers under ``opt_state`` and the EMA shadow
+# weights — state that is only READ elementwise inside the optimizer update,
+# never by the model forward. ``params`` must stay replicated (the Pallas
+# kernels' shard_map consumes them with in_spec P(); ops/_common.spmd_wrap).
+_ZERO1_FIELDS = ("opt_state", "ema_params")
+
+
+def zero1_spec(leaf, base: P, data_size: int) -> P:
+    """Add a ``data``-axis shard to ``base`` on the first free divisible axis.
+
+    ZeRO stage 1 (Rajbhandari et al. 2020) partitions optimizer state over
+    the data-parallel ranks; the GSPMD form is a per-leaf PartitionSpec with
+    ``data`` on one axis. Composes with tensor parallelism: axes ``base``
+    already shards over ``model`` are skipped. Leaves with no axis divisible
+    by ``data_size`` (scalars, odd vectors) stay at ``base`` — semantics are
+    unchanged either way, only the layout."""
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim == 0 or data_size == 1:
+        return base
+    entries = list(base) + [None] * (ndim - len(base))
+    for i in range(ndim):
+        if entries[i] is None and leaf.shape[i] % data_size == 0:
+            return P(*entries[:i], "data", *entries[i + 1:])
+    return base
+
+
+def shard_state(mesh: Mesh, tree: Any, zero1: bool = False) -> Any:
     """Place a host-side state/params pytree on the mesh with tensor-parallel
     parameter shardings (falls back to plain replication when the ``model``
-    axis is 1). Works multi-host: leaves are assembled per-shard via
-    ``make_array_from_callback`` like ``replicate_from_host``."""
+    axis is 1). With ``zero1`` (the ``--optimizer-sharding`` flag), optimizer
+    and EMA state additionally shards over the ``data`` axis — ZeRO-1: pure
+    DP replicates the fp32 Adam moments (2x param bytes) on every chip; the
+    sharded layout divides that by the data size, for the per-step cost of
+    one update all-gather (the train-step jit pins these shardings so they
+    persist across donated steps — train/harness.py). Works multi-host:
+    leaves are assembled per-shard via ``make_array_from_callback`` like
+    ``replicate_from_host``."""
     mp = mesh.shape.get("model", 1)
-    if mp == 1:
+    data_size = mesh.shape.get("data", 1)
+    zero1 = zero1 and data_size > 1
+    if mp == 1 and not zero1:
         from .mesh import replicate
 
         return replicate(mesh, tree)
@@ -102,12 +137,14 @@ def shard_state(mesh: Mesh, tree: Any) -> Any:
     fallbacks = []
 
     def put(path, x):
-        spec = param_spec(path, x, mp)
+        spec = param_spec(path, x, mp) if mp > 1 else P()
         names = _path_names(path)
-        if spec == P() and any(
+        if mp > 1 and spec == P() and any(
             _endswith(names, s) for s in _COL + _ROW + _VEC
         ):
             fallbacks.append("/".join(names))
+        if zero1 and names and names[0] in _ZERO1_FIELDS:
+            spec = zero1_spec(x, spec, data_size)
         xh = np.asarray(x)
         sharding = NamedSharding(mesh, spec)
         return jax.make_array_from_callback(

@@ -125,6 +125,30 @@ def setup_output_dir(args, task: str) -> Optional[str]:
     return out_dir
 
 
+def _jit_train_step(train_step, state, mesh) -> Callable:
+    """jit the train step with donation, pinning the output state to the
+    input state's shardings.
+
+    Without the pin XLA is free to pick different output shardings (which
+    breaks donation and, worse, would silently re-replicate ZeRO-1-sharded
+    optimizer state on the first step). Metrics are scalars and pin to
+    replicated. Falls back to a plain donated jit when the state is not yet
+    device-placed (direct-construction tests)."""
+    leaves = jax.tree.leaves(state)
+    if mesh is not None and leaves and all(
+        isinstance(x, jax.Array) for x in leaves
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state_shardings = jax.tree.map(lambda x: x.sharding, state)
+        replicated = NamedSharding(mesh, PartitionSpec())
+        return jax.jit(
+            train_step, donate_argnums=0,
+            out_shardings=(state_shardings, replicated),
+        )
+    return jax.jit(train_step, donate_argnums=0)
+
+
 class TrainHarness:
     """Drives epochs over a jitted train step + an eval hook."""
 
@@ -148,7 +172,7 @@ class TrainHarness:
         self.args = args
         self.mesh = mesh
         self.state = state
-        self.train_step = jax.jit(train_step, donate_argnums=0)
+        self.train_step = _jit_train_step(train_step, state, mesh)
         self.train_loader = train_loader
         self.eval_fn = eval_fn
         self.saver = saver

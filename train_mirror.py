@@ -119,7 +119,7 @@ def main(argv=None):
         args.start_epoch = start_epoch
         if lr_controller is not None and not args.no_resume_opt:
             lr_controller.sync_from_state(state)
-    state = shard_state(mesh, state)  # TP-aware; == replicate at model_parallel 1
+    state = shard_state(mesh, state, zero1=args.optimizer_sharding)  # TP/ZeRO-1-aware; == replicate by default
 
     loss_weights = MirrorLossWeights(
         alignment=float((args.loss_kwargs or {}).get("alignment_loss_weight", 0.5)),

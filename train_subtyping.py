@@ -174,7 +174,7 @@ def main(argv=None):
         args.start_epoch = start_epoch
         if lr_controller is not None and not args.no_resume_opt:
             lr_controller.sync_from_state(state)
-    state = shard_state(mesh, state)  # TP-aware; == replicate at model_parallel 1
+    state = shard_state(mesh, state, zero1=args.optimizer_sharding)  # TP/ZeRO-1-aware; == replicate by default
 
     # smoothing > 0 selects LabelSmoothingCE, else plain CE
     # (ref train_subtyping.py:982-990)
