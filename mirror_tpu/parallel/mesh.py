@@ -51,12 +51,21 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree over the mesh.
+
+    Contract: the returned leaves never alias the caller's buffers. A bare
+    ``jax.device_put`` may reuse the source device-0 buffer on some backends;
+    the harness's donated train step then deletes it, silently killing the
+    caller's copy (the round-4 red ZeRO-1 test). Copying through host numpy
+    guarantees fresh buffers."""
     if jax.process_count() > 1:
         from .distributed import replicate_from_host
 
         return replicate_from_host(mesh, tree)
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: jax.device_put(np.array(x), sharding), tree
+    )
 
 
 def fit_mesh_to_batch(mesh: Mesh, batch_size: int) -> Mesh:

@@ -145,7 +145,11 @@ def shard_state(mesh: Mesh, tree: Any, zero1: bool = False) -> Any:
             fallbacks.append("/".join(names))
         if zero1 and names and names[0] in _ZERO1_FIELDS:
             spec = zero1_spec(x, spec, data_size)
-        xh = np.asarray(x)
+        # np.array (copy) not np.asarray: on CPU backends asarray can view
+        # the source device buffer, so the placed leaves would alias the
+        # caller's tree and a later donated step would delete both. Same
+        # no-aliasing contract as parallel/mesh.py::replicate.
+        xh = np.array(x)
         sharding = NamedSharding(mesh, spec)
         return jax.make_array_from_callback(
             xh.shape, sharding, lambda idx: xh[idx]

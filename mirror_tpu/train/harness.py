@@ -132,14 +132,19 @@ def _jit_train_step(train_step, state, mesh) -> Callable:
     Without the pin XLA is free to pick different output shardings (which
     breaks donation and, worse, would silently re-replicate ZeRO-1-sharded
     optimizer state on the first step). Metrics are scalars and pin to
-    replicated. Falls back to a plain donated jit when the state is not yet
-    device-placed (direct-construction tests)."""
+    replicated. Pins ONLY when every leaf is committed to `mesh` via a
+    NamedSharding: uncommitted single-device arrays (direct-construction
+    tests) would otherwise pin a SingleDeviceSharding and make jit raise
+    'Received incompatible devices' against a mesh-sharded batch."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
     leaves = jax.tree.leaves(state)
     if mesh is not None and leaves and all(
-        isinstance(x, jax.Array) for x in leaves
+        isinstance(x, jax.Array)
+        and isinstance(x.sharding, NamedSharding)
+        and x.sharding.mesh == mesh
+        for x in leaves
     ):
-        from jax.sharding import NamedSharding, PartitionSpec
-
         state_shardings = jax.tree.map(lambda x: x.sharding, state)
         replicated = NamedSharding(mesh, PartitionSpec())
         return jax.jit(
