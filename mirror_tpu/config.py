@@ -94,12 +94,16 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--amp", action="store_true", default=True)
     g.add_argument("--no-amp", action="store_false", dest="amp")
     g.add_argument("--amp-dtype", type=str, default="bfloat16")
-    g.add_argument("--contrastive-negatives", type=str, default="global",
+    g.add_argument("--contrastive-negatives", type=str, default="local",
                    choices=["global", "local"],
-                   help="'global' (default): negatives span the global batch "
-                        "(the SPMD-natural, BASELINE north-star design); "
-                        "'local': the reference's exact multi-GPU semantics — "
-                        "each chip's CE sees only its own shard's negatives")
+                   help="'local' (default, SURVEY 2.8 parity posture): the "
+                        "reference's exact multi-GPU semantics — each chip's "
+                        "CE sees only its own shard's negatives. 'global': "
+                        "negatives span the global batch (SPMD-natural, more "
+                        "negatives per step — a measurably DIFFERENT "
+                        "objective on >1 chip: grad cosine ~0.69, alignment "
+                        "loss offset ~ln(n_dev); contrastive_study_r5.json). "
+                        "Identical on 1 chip.")
 
     g = parser.add_argument_group("Optimizer")
     g.add_argument("--opt", type=str, default="adam")
