@@ -167,6 +167,12 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--experiment", type=str, default="")
     g.add_argument("--log-wandb", action="store_true", default=False)
     g.add_argument("--wandb-project", type=str, default="MIRROR")
+    g.add_argument("--wandb-watch", action="store_true", default=False,
+                   help="per-leaf parameter/gradient stats to wandb — the "
+                        "wandb.watch(model) equivalent (ref "
+                        "train_mirror.py:940-947); distribution moments "
+                        "(norm/mean/std) per leaf instead of histograms so "
+                        "the step stays host-sync-free")
     g.add_argument("--synchronize-step", action="store_true", default=False,
                    help="pull a scalar to host every step for accurate "
                         "per-step timing (ref train_mirror.py:1286-1287)")

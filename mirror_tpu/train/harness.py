@@ -246,8 +246,11 @@ class TrainHarness:
                 bs = next(iter(host_batch.values())).shape[0]
                 dt = time.time() - end
                 samples_m.update(bs / max(dt, 1e-9))
+                # watch/* keys (per-leaf wandb.watch stats, steps.watch_stats)
+                # are wandb-only: hundreds of them would swamp the console
                 for k, v in metrics.items():
-                    meters.setdefault(k, AverageMeter()).update(v, bs)
+                    if not k.startswith("watch/"):
+                        meters.setdefault(k, AverageMeter()).update(v, bs)
                 _logger.info(
                     "Train: %d [%4d/%d] Loss: %.4g (%.4g)  %s %.1f samples/s",
                     epoch, batch_idx, num_batches,
@@ -255,7 +258,7 @@ class TrainHarness:
                     meters["loss"].avg if "loss" in meters else float("nan"),
                     " ".join(
                         f"{k}: {v:.4g}" for k, v in metrics.items()
-                        if k not in ("loss",)
+                        if k != "loss" and not k.startswith("watch/")
                     ),
                     samples_m.val,
                 )
@@ -375,12 +378,24 @@ class TrainHarness:
                     eval_metrics.update(
                         {f"ema_{k}": v for k, v in ema_metrics.items()}
                     )
+            # per-leaf wandb.watch stats (--wandb-watch) ride the metric
+            # accumulator but belong to wandb only — summary.csv stays the
+            # reference-shaped epoch table
+            watch_metrics = {
+                k: v for k, v in train_metrics.items()
+                if k.startswith("watch/")
+            }
+            train_metrics = {
+                k: v for k, v in train_metrics.items()
+                if not k.startswith("watch/")
+            }
             if summary_path:
                 update_summary(
                     epoch, train_metrics, eval_metrics, summary_path,
                 )
             if wandb_run is not None:
                 payload = {f"train_{k}": v for k, v in train_metrics.items()}
+                payload.update(watch_metrics)
                 if eval_metrics:
                     payload.update({f"eval_{k}": v for k, v in eval_metrics.items()})
                 wandb_run.log(payload, step=epoch)

@@ -138,14 +138,40 @@ def _split_rngs(rng: jax.Array) -> Dict[str, jax.Array]:
 
 
 def observability_metrics(params, grads) -> Dict[str, jax.Array]:
-    """Global gradient/parameter L2 norms, the wandb.watch(model) analogue
-    (ref train_mirror.py:941-949 logs grad/param histograms): two cheap
-    in-step reductions that surface divergence/vanishing without any host
-    sync. Logged per interval and averaged into summary.csv/wandb."""
+    """Global gradient/parameter L2 norms: two cheap in-step reductions that
+    surface divergence/vanishing without any host sync. Logged per interval
+    and averaged into summary.csv/wandb."""
     return {
         "grad_norm": optax.global_norm(grads),
         "param_norm": optax.global_norm(params),
     }
+
+
+def watch_stats(params, grads) -> Dict[str, jax.Array]:
+    """Per-leaf parameter/gradient distribution stats — the wandb.watch(model)
+    equivalent (ref train_mirror.py:940-947 registers gradient + parameter
+    HISTOGRAM watching). TPU-native [E]: pulling full tensors to host every
+    log step would serialize the async dispatch chain, so each leaf logs its
+    distribution moments (L2 norm + mean + std) instead of raw histogram
+    buckets — computed in-step as device scalars, summed into the epoch
+    accumulator like every other metric, zero extra host syncs. Keys are
+    ``watch/{gradients,parameters}/<path>/<stat>`` mirroring wandb.watch's
+    gradients/parameters panel split; the harness routes them to wandb only
+    (not the console line or summary.csv). Opt-in via --wandb-watch."""
+
+    def stats(kind, tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            x = leaf.astype(jnp.float32)
+            out[f"watch/{kind}/{name}/norm"] = jnp.sqrt(jnp.sum(x * x))
+            out[f"watch/{kind}/{name}/mean"] = jnp.mean(x)
+            out[f"watch/{kind}/{name}/std"] = jnp.std(x)
+        return out
+
+    return {**stats("gradients", grads), **stats("parameters", params)}
 
 
 # ---------------------------------------------------------------------------
@@ -162,10 +188,12 @@ def make_mirror_train_step(
     ema_warmup: bool = False,
     schedule: Optional[Callable] = None,
     alignment_loss_fn: Optional[Callable] = None,
+    watch: bool = False,
 ) -> Callable:
     """``alignment_loss_fn`` (optional) swaps the contrastive term — pass
     ``partial(local_clip_loss, mesh=mesh)`` for the reference's per-rank
-    local-negatives semantics instead of global-batch negatives."""
+    local-negatives semantics instead of global-batch negatives.
+    ``watch`` adds per-leaf param/grad stats (the wandb.watch equivalent)."""
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -191,6 +219,7 @@ def make_mirror_train_step(
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {
             **observability_metrics(params0, grads),
+            **(watch_stats(params0, grads) if watch else {}),
             "loss": loss,
             "alignment_loss": losses[1],
             "wsi_retention_loss": losses[2],
@@ -269,6 +298,7 @@ def make_clip_train_step(
     ema_decay: Optional[float] = None,
     ema_warmup: bool = False,
     schedule: Optional[Callable] = None,
+    watch: bool = False,
 ) -> Callable:
     """InfoNCE dual-encoder pretraining (ref train_pretrain.py:1119-1122,
     873-875; expects model(wsi, rna) -> (wsi_emb, rna_emb))."""
@@ -287,6 +317,8 @@ def make_clip_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {"loss": loss, **observability_metrics(state.params, grads)}
+        if watch:
+            metrics.update(watch_stats(state.params, grads))
         if schedule is not None:
             metrics["lr"] = applied_lr(state.opt_state, schedule, state.step)
         return new_state, metrics
@@ -335,6 +367,7 @@ def make_classifier_train_step(
     ema_decay: Optional[float] = None,
     ema_warmup: bool = False,
     schedule: Optional[Callable] = None,
+    watch: bool = False,
 ) -> Callable:
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -349,6 +382,8 @@ def make_classifier_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {"loss": loss, **observability_metrics(state.params, grads)}
+        if watch:
+            metrics.update(watch_stats(state.params, grads))
         if schedule is not None:
             metrics["lr"] = applied_lr(state.opt_state, schedule, state.step)
         return new_state, metrics
@@ -381,6 +416,7 @@ def make_survival_train_step(
     ema_decay: Optional[float] = None,
     ema_warmup: bool = False,
     schedule: Optional[Callable] = None,
+    watch: bool = False,
 ) -> Callable:
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -399,6 +435,8 @@ def make_survival_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
         metrics = {"loss": loss, **observability_metrics(state.params, grads)}
+        if watch:
+            metrics.update(watch_stats(state.params, grads))
         if schedule is not None:
             metrics["lr"] = applied_lr(state.opt_state, schedule, state.step)
         return new_state, metrics

@@ -148,6 +148,7 @@ def main(argv=None):
         ema_warmup=args.model_ema_warmup,
         schedule=schedule,
         alignment_loss_fn=alignment_loss_fn,
+        watch=args.wandb_watch,
     )
     eval_step = jax.jit(
         make_mirror_eval_step(

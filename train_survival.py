@@ -153,6 +153,7 @@ def main(argv=None):
         ema_decay=args.model_ema_decay if args.model_ema else None,
         ema_warmup=args.model_ema_warmup,
         schedule=schedule,
+        watch=args.wandb_watch,
     )
     eval_step = jax.jit(make_survival_eval_step(model, args.wsi_feature_only))
 
