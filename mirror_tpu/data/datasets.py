@@ -324,6 +324,11 @@ class SurvivalDataset(_BaseDataset):
         self.train()
 
     def _filter_data(self) -> None:
+        # TRANSCRIBED RECIPE: the dedup/intersection ORDER is semantic (a
+        # different order keeps different duplicates and changes the cohort)
+        # so this follows /root/reference/datasets/dataset_survival.py:95-147
+        # step by step; goldened vs the imported reference class
+        # (tests/test_reference_oracle.py).
         self.rna_feature_df = self.rna_feature_df.loc[
             ~self.rna_feature_df.index.duplicated(keep="first")
         ]
@@ -372,6 +377,12 @@ class SurvivalDataset(_BaseDataset):
         ]
 
     def _gen_disc_label(self) -> None:
+        # TRANSCRIBED RECIPE (like tools/gen_patch.py's segmentation): this
+        # pandas qcut/cut/merge sequence IS the discretization spec
+        # (/root/reference/datasets/dataset_survival.py:167-224) and its
+        # outputs must be bit-identical — goldened directly against the
+        # imported reference class in tests/test_reference_oracle.py,
+        # including the all-censored pd.cut fallback branch.
         patients_df = self.survival_data.copy()
         event_df = self.survival_data[
             self.survival_data[self.censor_column] == "1:DECEASED"
