@@ -2,9 +2,17 @@
 """Generate k-fold cross-validation split CSVs.
 
 Semantics of /root/reference/tools/gen_splits.py:41-75: sklearn
-KFold(n_splits=k, shuffle=True, random_state=seed) over the feature
-filenames; each fold writes ``splits_{i}.csv`` with ``train``/``val``
-columns of 12-char patient IDs.
+KFold(n_splits=k, shuffle=True, random_state=seed); each fold writes
+``splits_{i}.csv`` with ``train``/``val`` columns of 12-char patient IDs.
+
+Two deliberate fixes vs the reference (PARITY.md,
+tests/test_reference_oracle_tools.py): the reference folds over raw
+``os.listdir`` FILENAMES, so (a) a patient with multiple slides can land in
+BOTH train and val of the same fold (split leakage), and (b) the folds
+depend on the filesystem's directory order (non-reproducible across
+machines). This folds over SORTED UNIQUE 12-char patient IDs — identical
+output for the 1-slide-per-patient sorted case, leak-free and deterministic
+otherwise.
 """
 
 import argparse
