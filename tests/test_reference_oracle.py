@@ -509,6 +509,76 @@ def test_sampler_weights_vs_reference(cohort):
     )
 
 
+def test_survival_dedup_semantics_vs_reference(cohort, tmp_path):
+    """The dedup/intersection ORDER in _filter_data is semantic (keep='first'
+    under a different order keeps different rows) — exercise it with a
+    deliberately messy cohort: a duplicated RNA row (conflicting values), a
+    duplicated survival Sample ID (extension variant), a duplicated Patient
+    ID with a different Sample ID, and a multi-slide patient."""
+    import shutil
+
+    feat = tmp_path / "features"
+    feat.mkdir()
+    for f in os.listdir(cohort["feature_dir"]):
+        shutil.copy(os.path.join(cohort["feature_dir"], f), feat / f)
+    slides = sorted(os.listdir(feat))
+    # multi-slide patient: clone slide 0 as a DX2
+    first = slides[0]
+    shutil.copy(feat / first, feat / first.replace("DX1", "DX2"))
+
+    rna = pd.read_csv(cohort["rna_csv"], index_col=0)
+    dup_rna = rna.iloc[[3]].copy() * 7.0  # same index, conflicting values
+    rna2 = pd.concat([rna, dup_rna])
+    rna_csv = str(tmp_path / "rna_dup.csv")
+    rna2.to_csv(rna_csv)
+
+    surv = pd.read_csv(cohort["survival_csv"])
+    dup_sid = surv.iloc[[2]].copy()
+    dup_sid["Sample ID"] = dup_sid["Sample ID"] + ".A"  # ext variant
+    dup_sid["Overall Survival (Months)"] = 999.0
+    dup_pid = surv.iloc[[4]].copy()
+    dup_pid["Sample ID"] = dup_pid["Sample ID"].str[:-2] + "02"
+    dup_pid["Overall Survival (Months)"] = 777.0
+    surv2 = pd.concat([surv, dup_sid, dup_pid], ignore_index=True)
+    surv_csv = str(tmp_path / "surv_dup.csv")
+    surv2.to_csv(surv_csv, index=False)
+
+    messy = dict(cohort, feature_dir=str(feat), rna_csv=rna_csv,
+                 survival_csv=surv_csv)
+    r = _ref_survival(messy)
+    m = _my_survival(messy)
+    assert r.num_classes == m.num_classes
+    rt = r.survival_data.set_index("Sample ID").sort_index()
+    mt = m.survival_data.set_index("Sample ID").sort_index()
+    assert list(rt.index) == list(mt.index)
+    for col in ("disc_label", "censorship", "label",
+                "Overall Survival (Months)"):
+        np.testing.assert_array_equal(
+            rt[col].to_numpy(), mt[col].to_numpy(), err_msg=col
+        )
+    for fold in (0, 1):
+        r.update_fold_nb(fold)
+        m.update_fold_nb(fold)
+        assert set(r.train_feature_ids) == set(m.train_feature_ids)
+        assert set(r.val_feature_ids) == set(m.val_feature_ids)
+    # both slides of the multi-slide patient resolve to the same kept row
+    np.random.seed(0)
+    r.train()
+    m.train()
+    assert sorted(r.used_feature_ids) == sorted(m.used_feature_ids)
+    # the duplicated RNA row: keep='first' => ORIGINAL values win in both
+    order = {s: i for i, s in enumerate(m.used_feature_ids)}
+    for ridx, slide in enumerate(r.used_feature_ids):
+        np.random.seed(ridx)
+        item_ref = r[ridx]
+        np.random.seed(ridx)
+        item_my = m[order[slide]]
+        np.testing.assert_allclose(
+            item_my["rna"], item_ref[1].numpy(), rtol=1e-6,
+            err_msg=slide,
+        )
+
+
 # ---------------------------------------------------------------------------
 # TruncatedResNet50 vs the reference graph with random weights
 # ---------------------------------------------------------------------------
