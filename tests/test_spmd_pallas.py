@@ -260,7 +260,6 @@ def test_full_model_lowers_for_tpu_multidevice(mesh8, monkeypatch):
     custom calls must survive lowering (the exact stage where unwrapped
     multi-device Pallas dies). Also pins that the UNWRAPPED path still
     raises jax's NotImplementedError, so the wrap stays justified."""
-    import mirror_tpu.ops as ops_pkg
     from mirror_tpu.losses import MirrorLossWeights, mirror_loss
     from jax.sharding import NamedSharding
 

@@ -11,7 +11,6 @@ import sys
 import types
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

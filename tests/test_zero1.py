@@ -22,7 +22,6 @@ Pinned here on an 8-device CPU mesh:
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mirror_tpu.losses import MirrorLossWeights
