@@ -122,10 +122,12 @@ def _bytes_of(shape_str: str) -> int:
     return total
 
 
-def audit(model_kwargs, batch, n_devices=8):
+def audit(model_kwargs, batch, n_devices=8, zero1=False, model_parallel=1):
     model = create_model("mirror", **model_kwargs)
     mesh = Mesh(
-        np.array(jax.devices()[:n_devices]).reshape(n_devices, 1),
+        np.array(jax.devices()[:n_devices]).reshape(
+            n_devices // model_parallel, model_parallel
+        ),
         ("data", "model"),
     )
     tokens = model_kwargs["wsi_num_tokens"]
@@ -158,7 +160,28 @@ def audit(model_kwargs, batch, n_devices=8):
             tree,
         )
 
-    state = shard_struct(state, repl)
+    if zero1 or model_parallel > 1:
+        # mirror parallel/tensor_parallel.shard_state's per-leaf specs on
+        # abstract structs (no giant host arrays needed for the audit)
+        from mirror_tpu.parallel.tensor_parallel import (
+            _ZERO1_FIELDS, _path_names, param_spec, zero1_spec,
+        )
+
+        data_size = mesh.shape["data"]
+
+        def spec_of(path, s):
+            spec = param_spec(path, s, model_parallel) \
+                if model_parallel > 1 else P()
+            names = _path_names(path)
+            if zero1 and names and names[0] in _ZERO1_FIELDS:
+                spec = zero1_spec(s, spec, data_size)
+            return jax.ShapeDtypeStruct(
+                s.shape, s.dtype, sharding=NamedSharding(mesh, spec)
+            )
+
+        state = jax.tree_util.tree_map_with_path(spec_of, state)
+    else:
+        state = shard_struct(state, repl)
     batch_dict = {
         "wsi": jax.ShapeDtypeStruct(wsi.shape, wsi.dtype, sharding=data),
         "rna": jax.ShapeDtypeStruct(rna.shape, rna.dtype, sharding=data),
@@ -206,11 +229,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--layouts", nargs="+",
+                    default=["dp", "zero1", "tp2"],
+                    choices=["dp", "zero1", "tp2"])
     args = ap.parse_args()
 
     kw = TINY if args.tiny else FLAGSHIP
     batch = 2 * args.devices if args.tiny else B_PER_CHIP * args.devices
     comms, per_op, flops, _ = audit(kw, batch, args.devices)
+
+    # alternative layouts: same step, different GSPMD shardings — the audit
+    # measures what each buys/costs in collective bytes
+    alt = {}
+    if "zero1" in args.layouts:
+        z_comms, _, _, _ = audit(kw, batch, args.devices, zero1=True)
+        alt["zero1"] = z_comms
+    if "tp2" in args.layouts and args.devices % 2 == 0:
+        t_comms, _, _, _ = audit(
+            kw, batch, args.devices, model_parallel=2
+        )
+        alt["tp2_model2"] = t_comms
 
     total_comm = sum(comms.values())
     n = args.devices
@@ -225,6 +263,7 @@ def main():
         "devices": n,
         "global_batch": batch,
         "collective_bytes_per_step": comms,
+        "alt_layouts_collective_bytes": alt,
         "total_collective_bytes_per_step": total_comm,
         "largest_collectives": per_op[:12],
         "hlo_flops_total": flops,
