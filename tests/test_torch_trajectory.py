@@ -146,7 +146,8 @@ def _patch_stochastic(monkeypatch):
     monkeypatch.setattr(mirror_mod.MIRROR, "reparameterize", fixed_reparam)
 
 
-def _run_flax():
+def _run_flax(accum: int = 1, n_steps: int = N_STEPS):
+    args = type("_ArgsAccum", (_Args,), {"grad_accum_steps": accum})
     model = mirror_mod.MIRROR(**MODEL_KW)
     rngs = dict(zip(
         ["params", "dropout", "masking", "style"],
@@ -157,8 +158,8 @@ def _run_flax():
         rngs, jnp.asarray(d0["wsi"]), jnp.asarray(d0["rna"])
     )["params"]
 
-    schedule = make_schedule(_Args, steps_per_epoch=5, base_lr=1e-3)
-    tx = make_optimizer(_Args, schedule)
+    schedule = make_schedule(args, steps_per_epoch=5, base_lr=1e-3)
+    tx = make_optimizer(args, schedule)
     base_step = make_mirror_train_step(
         model, tx, WEIGHTS, wsi_mask_ratio=WSI_RATIO,
         rna_mask_ratio=RNA_RATIO, ema_decay=EMA_DECAY, ema_warmup=True,
@@ -182,7 +183,7 @@ def _run_flax():
     losses, lrs = [], []
     try:
         _patch_stochastic(mp)
-        for t in range(N_STEPS):
+        for t in range(n_steps):
             d = _step_draws(t)
             batch = {
                 "wsi": jnp.asarray(d["wsi"]),
@@ -204,7 +205,8 @@ def _run_flax():
     return params, state, losses, lrs, schedule
 
 
-def _run_torch(init_flax_params, schedule):
+def _run_torch(init_flax_params, schedule, accum: int = 1,
+               n_steps: int = N_STEPS):
     sd = to_torch_state_dict(init_flax_params)
     p = {k: torch.tensor(np.asarray(v), requires_grad=True)
          for k, v in sd.items()}
@@ -221,13 +223,15 @@ def _run_torch(init_flax_params, schedule):
     )
 
     losses, lrs = [], []
-    for t in range(N_STEPS):
+    opt.zero_grad()
+    for t in range(n_steps):
         d = _step_draws(t)
         with torch.no_grad():
             p["prototypes.weight"].data = F.normalize(
                 p["prototypes.weight"].data, p=2, dim=1
             )
-        lr_t = float(schedule(jnp.asarray(t, jnp.int32)))
+        update_idx = t // accum
+        lr_t = float(schedule(jnp.asarray(update_idx, jnp.int32)))
         for g in opt.param_groups:
             g["lr"] = lr_t
         lrs.append(lr_t)
@@ -247,20 +251,26 @@ def _run_torch(init_flax_params, schedule):
         )[0]
         losses.append(float(total.detach()))
 
-        opt.zero_grad()
-        total.backward()
-        torch.nn.utils.clip_grad_norm_(list(p.values()), _Args.clip_grad)
-        opt.step()
+        # reference accumulation (train_mirror.py:1126-1284): loss/accum
+        # backward each micro-batch, clip+step+EMA only at need_update;
+        # logit clamp runs every micro-batch (idempotent mid-accum)
+        (total / accum).backward()
+        need_update = (t + 1) % accum == 0
+        if need_update:
+            torch.nn.utils.clip_grad_norm_(list(p.values()), _Args.clip_grad)
+            opt.step()
+            opt.zero_grad()
         with torch.no_grad():
             p["logit_scale"].clamp_(0.0, LOG100)
-            # timm ModelEmaV3 warmup ramp (ref train_mirror.py:787-799):
-            # n_updates = t+1, step = n_updates-1; step<=0 copies
-            step_f = float(t)
-            d_t = 0.0 if step_f <= 0 else min(
-                1.0 - (1.0 + step_f) ** (-2.0 / 3.0), EMA_DECAY
-            )
-            for k in ema:
-                ema[k].mul_(d_t).add_(p[k].detach(), alpha=1.0 - d_t)
+            if need_update:
+                # timm ModelEmaV3 warmup ramp (ref train_mirror.py:787-799):
+                # n_updates = update_idx+1, step = n_updates-1; step<=0 copies
+                step_f = float(update_idx)
+                d_t = 0.0 if step_f <= 0 else min(
+                    1.0 - (1.0 + step_f) ** (-2.0 / 3.0), EMA_DECAY
+                )
+                for k in ema:
+                    ema[k].mul_(d_t).add_(p[k].detach(), alpha=1.0 - d_t)
     return p, ema, losses, lrs
 
 
@@ -339,3 +349,52 @@ def test_final_logit_scale(trajectories):
     a = float(trajectories["state"].params["logit_scale"])
     b = float(trajectories["p_t"]["logit_scale"].detach())
     assert a == pytest.approx(b, rel=1e-5, abs=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# gradient accumulation (optax.MultiSteps vs the reference's accumulate loop)
+# ---------------------------------------------------------------------------
+
+N_MICRO = 12  # 6 real updates at accum=2
+
+
+@pytest.fixture(scope="module")
+def accum_trajectories():
+    init_params, state, losses_j, lrs_j, schedule = _run_flax(
+        accum=2, n_steps=N_MICRO
+    )
+    p_t, ema_t, losses_t, lrs_t = _run_torch(
+        init_params, schedule, accum=2, n_steps=N_MICRO
+    )
+    return dict(state=state, p_t=p_t, ema_t=ema_t, losses_j=losses_j,
+                losses_t=losses_t, lrs_j=lrs_j, lrs_t=lrs_t)
+
+
+def test_accum_per_microstep_loss(accum_trajectories):
+    for t, (a, b) in enumerate(zip(
+        accum_trajectories["losses_j"], accum_trajectories["losses_t"]
+    )):
+        assert a == pytest.approx(b, rel=2e-5), f"micro-step {t}: {a} vs {b}"
+
+
+def test_accum_lr_counts_real_updates(accum_trajectories):
+    """The schedule must advance once per REAL update, not per micro-step:
+    micro-step pairs share an lr, and the applied-lr metric agrees with
+    torch's schedule(update_idx)."""
+    lrs_j = accum_trajectories["lrs_j"]
+    lrs_t = accum_trajectories["lrs_t"]
+    np.testing.assert_allclose(lrs_j, lrs_t, rtol=1e-5)
+    for u in range(N_MICRO // 2):
+        assert lrs_t[2 * u] == lrs_t[2 * u + 1], u
+    assert len(set(np.round(lrs_t, 12))) >= 4  # warmup+cosine actually move
+
+
+def test_accum_final_params_and_ema(accum_trajectories):
+    _assert_tree_close(
+        accum_trajectories["state"].params,
+        _as_flax(accum_trajectories["p_t"]), "param",
+    )
+    _assert_tree_close(
+        accum_trajectories["state"].ema_params,
+        _as_flax(accum_trajectories["ema_t"]), "ema",
+    )
