@@ -245,3 +245,40 @@ def test_tp_pallas_train_step_runs(mesh42):
     # the updated params kept their TP sharding (no silent reshard)
     spec = state.params["rna_encoder"]["embedding"]["fc1"]["kernel"].sharding.spec
     assert "model" in str(spec), spec
+
+
+def test_placed_state_never_aliases_caller_buffers():
+    """The round-4 red-test root cause, pinned as a contract: replicate()
+    and shard_state() must COPY — a donated step deleting the placed
+    buffers must leave the caller's original tree readable (device_put may
+    alias the source buffer on some backends; parallel/mesh.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirror_tpu.parallel import create_mesh, shard_state
+    from mirror_tpu.parallel.mesh import replicate
+
+    mesh = create_mesh(num_devices=8)
+    for place in (
+        lambda t: replicate(mesh, t),
+        lambda t: shard_state(mesh, t, zero1=True),
+    ):
+        original = {
+            "params": {"w": jnp.arange(16.0).reshape(2, 8)},
+            "opt_state": {"mu": jnp.ones((2, 8))},
+        }
+        placed = place(original)
+
+        consumed = jax.jit(
+            lambda t: jax.tree.map(lambda x: x + 1.0, t), donate_argnums=0
+        )(placed)
+        jax.block_until_ready(consumed)
+        # the ORIGINAL tree must still be alive and readable
+        np.testing.assert_array_equal(
+            np.array(original["params"]["w"]),
+            np.arange(16.0).reshape(2, 8),
+        )
+        np.testing.assert_array_equal(
+            np.array(original["opt_state"]["mu"]), np.ones((2, 8))
+        )
