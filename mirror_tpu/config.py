@@ -309,6 +309,16 @@ def parse_args(
                 "Ignoring GPU-only flag --%s=%r (no TPU meaning)",
                 dest.replace("_", "-"), getattr(args, dest),
             )
+    if getattr(args, "wandb_watch", False) and not getattr(
+        args, "log_wandb", False
+    ):
+        # watch stats are wandb-only (train/harness.py routes watch/* keys
+        # exclusively to the wandb run): without --log-wandb the per-leaf
+        # reductions would be computed every step and discarded
+        _logger.warning(
+            "--wandb-watch has no effect without --log-wandb; disabling"
+        )
+        args.wandb_watch = False
     args.config = cfg_args.config
     args_text = yaml.safe_dump(vars(args), default_flow_style=False)
     return args, args_text

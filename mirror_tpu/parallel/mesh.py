@@ -12,6 +12,7 @@ A ``model`` axis is reserved for optional tensor-parallel sharding of the
 default).
 """
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -50,22 +51,47 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(put, batch)
 
 
-def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Replicate a pytree over the mesh.
+def _copy_body(tree):
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.copy, tree)
+
+
+@functools.lru_cache(maxsize=32)
+def _copy_fn(treedef, sharding_leaves):
+    shardings = jax.tree.unflatten(treedef, list(sharding_leaves))
+    return jax.jit(_copy_body, out_shardings=shardings)
+
+
+def fresh_copy_to(tree: Any, shardings: Any) -> Any:
+    """Place ``tree`` with per-leaf ``shardings``, guaranteeing fresh buffers.
 
     Contract: the returned leaves never alias the caller's buffers. A bare
     ``jax.device_put`` may reuse the source device-0 buffer on some backends;
     the harness's donated train step then deletes it, silently killing the
-    caller's copy (the round-4 red ZeRO-1 test). Copying through host numpy
-    guarantees fresh buffers."""
+    caller's copy (the round-4 red ZeRO-1 test). A jitted copy with pinned
+    ``out_shardings`` meets the contract on-device: without donation, jit
+    output buffers are always newly allocated — and unlike a host-numpy
+    round trip it never pulls already-on-device state back over PCIe (or,
+    on this rig, the MB/s-scale tunnel). The jitted copy is memoized on
+    (treedef, shardings) so repeat placements of same-structured state
+    don't re-trace (the remote-compile service here makes even trivial
+    recompiles expensive)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves:
+        return tree
+    sharding_leaves = tuple(jax.tree.leaves(shardings))
+    return _copy_fn(treedef, sharding_leaves)(tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree over the mesh (fresh buffers — see fresh_copy_to)."""
     if jax.process_count() > 1:
         from .distributed import replicate_from_host
 
         return replicate_from_host(mesh, tree)
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(
-        lambda x: jax.device_put(np.array(x), sharding), tree
-    )
+    return fresh_copy_to(tree, jax.tree.map(lambda _: sharding, tree))
 
 
 def fit_mesh_to_batch(mesh: Mesh, batch_size: int) -> Mesh:

@@ -136,7 +136,7 @@ def shard_state(mesh: Mesh, tree: Any, zero1: bool = False) -> Any:
 
     fallbacks = []
 
-    def put(path, x):
+    def sharding_for(path, x):
         spec = param_spec(path, x, mp) if mp > 1 else P()
         names = _path_names(path)
         if mp > 1 and spec == P() and any(
@@ -145,17 +145,26 @@ def shard_state(mesh: Mesh, tree: Any, zero1: bool = False) -> Any:
             fallbacks.append("/".join(names))
         if zero1 and names and names[0] in _ZERO1_FIELDS:
             spec = zero1_spec(x, spec, data_size)
-        # np.array (copy) not np.asarray: on CPU backends asarray can view
-        # the source device buffer, so the placed leaves would alias the
-        # caller's tree and a later donated step would delete both. Same
-        # no-aliasing contract as parallel/mesh.py::replicate.
-        xh = np.array(x)
-        sharding = NamedSharding(mesh, spec)
-        return jax.make_array_from_callback(
-            xh.shape, sharding, lambda idx: xh[idx]
-        )
+        return NamedSharding(mesh, spec)
 
-    out = jax.tree_util.tree_map_with_path(put, tree)
+    shardings = jax.tree_util.tree_map_with_path(sharding_for, tree)
+    if jax.process_count() > 1:
+        # Per-shard host assembly (jit can't consume process-local numpy
+        # over a multi-process mesh). np.array (copy) not np.asarray: on CPU
+        # backends asarray can view the source device buffer, so the placed
+        # leaves would alias the caller's tree and a later donated step
+        # would delete both — same contract as parallel/mesh.py::fresh_copy_to.
+        def put(x, sharding):
+            xh = np.array(x)
+            return jax.make_array_from_callback(
+                xh.shape, sharding, lambda idx: xh[idx]
+            )
+
+        out = jax.tree.map(put, tree, shardings)
+    else:
+        from .mesh import fresh_copy_to
+
+        out = fresh_copy_to(tree, shardings)
     if fallbacks:
         _logger.info(
             "model-parallel: %d leaves do not divide model=%d and stay "

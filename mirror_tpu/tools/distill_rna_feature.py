@@ -73,6 +73,10 @@ def distill(
     labels_df = pd.read_csv(labels_csv)
     sid_col = "Sample ID" if "Sample ID" in labels_df.columns else labels_df.columns[0]
     labels_df = labels_df.set_index(labels_df[sid_col].str[:15])
+    # dedup the truncated index: two vials sharing a 15-char prefix would
+    # make .loc expand duplicates and desync len(y) from len(x) (same
+    # hazard as datasets._filter_data / predict.py, handled there too)
+    labels_df = labels_df[~labels_df.index.duplicated(keep="first")]
     common = expr.index.intersection(labels_df.index)
     x = expr.loc[common]
     y = labels_df.loc[common, label_column].astype(str)

@@ -70,9 +70,9 @@ def main(argv=None):
                    action="store_false")
     args = p.parse_args(argv)
 
-    forced = os.environ.get("MIRROR_PLATFORM")
-    if forced:
-        jax.config.update("jax_platforms", forced)
+    from mirror_tpu.utils import apply_forced_platform
+
+    apply_forced_platform()
     mesh = create_mesh()
     params = wsi_encoder_params(args.checkpoint)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

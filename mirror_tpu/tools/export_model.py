@@ -114,6 +114,9 @@ def main(argv=None):
     p.add_argument("--model-kwargs", nargs="*", default={}, action=ParseKwargs,
                    help="k=v pairs forwarded to the model registry")
     a = p.parse_args(argv)
+    from mirror_tpu.utils import apply_forced_platform
+
+    apply_forced_platform()  # launcher 'cpu' slot contract (utils/platform.py)
     export_model(a.mode, a.model, a.checkpoint, a.output, a.batch,
                  a.num_tokens, a.wsi_dim, a.rna_dim, a.model_kwargs or {})
 

@@ -87,15 +87,22 @@ def batched_patch_stream(
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     sentinel = object()
     error = []
+    stop = threading.Event()
 
     def producer():
-        # forward decode errors and ALWAYS deliver the sentinel (same
-        # contract as data/loader.py's prefetch thread) — without the
-        # finally, one corrupt patch JPEG kills this thread before the
-        # sentinel and the consumer blocks on q.get() forever
+        # Full contract of data/loader.py's prefetch thread, both halves:
+        # (1) forward decode errors and ALWAYS deliver the sentinel —
+        # without the finally, one corrupt patch JPEG kills this thread
+        # before the sentinel and the consumer blocks on q.get() forever;
+        # (2) honor consumer abandonment via `stop` + timed puts — a plain
+        # q.put would block forever once the consumer stops iterating
+        # (device error mid-slide, early break), pinning this thread, the
+        # decode pool, and ~prefetch decoded batches per aborted stream.
         try:
             with ThreadPoolExecutor(max_workers=num_threads) as pool:
                 for i in range(0, len(patch_files), batch_size):
+                    if stop.is_set():
+                        return
                     chunk = patch_files[i : i + batch_size]
                     imgs = list(pool.map(lambda f: decode_patch(f, size),
                                          chunk))
@@ -104,20 +111,53 @@ def batched_patch_stream(
                     if n_valid < batch_size:
                         pad = np.repeat(arr[-1:], batch_size - n_valid, axis=0)
                         arr = np.concatenate([arr, pad])
-                    q.put((arr, n_valid))
+                    while not stop.is_set():
+                        try:
+                            q.put((arr, n_valid), timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
         except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
             error.append(e)
         finally:
-            q.put(sentinel)
+            # Deliver the sentinel. While the consumer is LIVE the queue may
+            # be Full simply because the consumer is slower than decode (the
+            # common production case) — block, never drop: evicting to make
+            # room here would silently lose a DATA batch at end-of-stream.
+            # Only once `stop` is set (consumer abandoned) is eviction safe.
+            while True:
+                if stop.is_set():
+                    try:
+                        q.put_nowait(sentinel)
+                        break
+                    except queue.Full:  # make room: the consumer is gone
+                        try:
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
+                else:
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer waiting in its timed put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join()
     if error:
         raise error[0]
 
@@ -317,6 +357,9 @@ def main():
     p.add_argument("--quant", default=None, choices=["int8"],
                    help="W8A8 inference GEMMs (see build_extractor note)")
     a = p.parse_args()
+    from mirror_tpu.utils import apply_forced_platform
+
+    apply_forced_platform()  # before default_backend() initializes the backend
     if a.use_pallas is None:
         import jax
 

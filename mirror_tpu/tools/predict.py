@@ -88,6 +88,13 @@ def predict(
 
     payload = load_checkpoint_file(checkpoint)
     params = payload.get("ema_state_dict") if use_ema else None
+    if use_ema and not params:
+        # a silent fallback would score raw weights and let an EMA-vs-raw
+        # comparison return byte-identical CSVs
+        _logger.warning(
+            "--use-ema requested but the checkpoint has no ema_state_dict; "
+            "scoring the raw state_dict"
+        )
     if not params:
         params = payload["state_dict"]
 
@@ -127,7 +134,10 @@ def predict(
                     os.path.join(subdir, f)
                     for f in list_feature_files(subdir)
                 ]
-    if rna_df is not None:
+    if rna_df is not None and not wsi_only:
+        # gated on wsi_only like the batch assembly below: a wsi-only
+        # checkpoint never consumes RNA, so missing RNA rows must not
+        # silently drop slides from the output
         kept = [f for f in files
                 if os.path.basename(f).split(".")[0][:15] in rna_df.index]
         if len(kept) < len(files):
@@ -264,6 +274,9 @@ def main(argv=None):
                    help="score EVERY patch (context-parallel whole-slide "
                    "encoder) instead of the training-time token subsample")
     a = p.parse_args(argv)
+    from mirror_tpu.utils import apply_forced_platform
+
+    apply_forced_platform()  # launcher 'cpu' slot contract (utils/platform.py)
     predict(a.checkpoint, a.task, a.wsi_feature_dir, a.output,
             a.rna_feature_csv, a.batch_size, a.use_ema, a.seed,
             whole_slide=a.whole_slide)

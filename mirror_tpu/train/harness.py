@@ -237,8 +237,14 @@ class TrainHarness:
                 batch_idx % args.log_interval == 0
                 or batch_idx == num_batches - 1
             ):
-                # pulling metrics to host synchronizes the step
-                metrics = {k: float(v) for k, v in metrics.items()}
+                # pulling metrics to host synchronizes the step. watch/*
+                # keys (per-leaf --wandb-watch stats — hundreds of scalars)
+                # reach wandb via the once-per-epoch accumulator pull only;
+                # pulling them here would stall the loop one RPC per leaf.
+                metrics = {
+                    k: float(v) for k, v in metrics.items()
+                    if not k.startswith("watch/")
+                }
                 if self.lr_controller is not None:
                     # plateau: the live lr is the controller's, not the
                     # (identity) schedule the step function sees
@@ -246,11 +252,8 @@ class TrainHarness:
                 bs = next(iter(host_batch.values())).shape[0]
                 dt = time.time() - end
                 samples_m.update(bs / max(dt, 1e-9))
-                # watch/* keys (per-leaf wandb.watch stats, steps.watch_stats)
-                # are wandb-only: hundreds of them would swamp the console
                 for k, v in metrics.items():
-                    if not k.startswith("watch/"):
-                        meters.setdefault(k, AverageMeter()).update(v, bs)
+                    meters.setdefault(k, AverageMeter()).update(v, bs)
                 _logger.info(
                     "Train: %d [%4d/%d] Loss: %.4g (%.4g)  %s %.1f samples/s",
                     epoch, batch_idx, num_batches,
@@ -258,7 +261,7 @@ class TrainHarness:
                     meters["loss"].avg if "loss" in meters else float("nan"),
                     " ".join(
                         f"{k}: {v:.4g}" for k, v in metrics.items()
-                        if k != "loss" and not k.startswith("watch/")
+                        if k != "loss"
                     ),
                     samples_m.val,
                 )
@@ -468,9 +471,9 @@ def common_setup(args, task: str):
     MIRROR_PLATFORM=cpu|tpu forces the JAX backend — needed because the axon
     TPU plugin ignores the JAX_PLATFORMS env var (launchers use this to pin
     subprocess jobs)."""
-    forced = os.environ.get("MIRROR_PLATFORM")
-    if forced:
-        jax.config.update("jax_platforms", forced)
+    from mirror_tpu.utils import apply_forced_platform
+
+    apply_forced_platform()
     setup_default_logging()
     from mirror_tpu.parallel.distributed import maybe_initialize
     from mirror_tpu.utils import random_seed

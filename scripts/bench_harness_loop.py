@@ -180,23 +180,25 @@ def measure_host_loader():
     (2048-token gather per sample) on this rig's single CPU core."""
     from mirror_tpu.data import Loader, PretrainDataset, make_synthetic_cohort
 
-    root = tempfile.mkdtemp(prefix="harness_loop_cohort_")
-    n_slides = 96
-    make_synthetic_cohort(
-        root, n_patients=n_slides, feature_dim=768, rna_dim=10234,
-        min_tokens=2100, max_tokens=2400, classes=None, seed=0, fmt="npy",
-    )
-    ds = PretrainDataset(
-        os.path.join(root, "features"), os.path.join(root, "rna.csv"),
-        num_wsi_feature_tokens=TOKENS,
-    )
-    loader = Loader(ds, BATCH, shuffle=True, drop_last=True)
-    t0 = time.time()
-    n = 0
-    for b in loader:  # one epoch, host numpy only
-        n += b["wsi"].shape[0]
-    dt = time.time() - t0
-    return n / dt, n
+    # TemporaryDirectory: the synthetic cohort is ~0.65 GB of .npy — leaking
+    # one per run would fill /tmp on this rig within a few benches
+    with tempfile.TemporaryDirectory(prefix="harness_loop_cohort_") as root:
+        n_slides = 96
+        make_synthetic_cohort(
+            root, n_patients=n_slides, feature_dim=768, rna_dim=10234,
+            min_tokens=2100, max_tokens=2400, classes=None, seed=0, fmt="npy",
+        )
+        ds = PretrainDataset(
+            os.path.join(root, "features"), os.path.join(root, "rna.csv"),
+            num_wsi_feature_tokens=TOKENS,
+        )
+        loader = Loader(ds, BATCH, shuffle=True, drop_last=True)
+        t0 = time.time()
+        n = 0
+        for b in loader:  # one epoch, host numpy only
+            n += b["wsi"].shape[0]
+        dt = time.time() - t0
+        return n / dt, n
 
 
 def main():

@@ -143,7 +143,6 @@ def main():
     batches = _batches()
 
     curves = {}
-    states = {}
     for mode in ("global", "local"):
         state, step, model, fn = _setup(mesh, mode)
         jitted = _jit_train_step(step, state, mesh)
@@ -153,7 +152,6 @@ def main():
             for t in TERMS:
                 per_term[t].append(float(metrics[t]))
         curves[mode] = per_term
-        states[mode] = state
 
     # gradient-direction comparison along the GLOBAL trajectory: at each
     # visited state, grad of the global objective vs grad of the local one

@@ -209,3 +209,13 @@ def test_predict_wsi_only(cohort, tmp_path):
     dup_df = pd.read_csv(dup_csv)
     assert len(dup_df) == 3
     assert dup_df["slide_id"].is_unique
+
+    # wsi-only + an RNA csv matching NO slide: the RNA-membership slide
+    # filter is gated on wsi_only (the model never consumes RNA), so no
+    # slide may be dropped — ungated this raised 'no usable feature files'
+    bogus = str(tmp_path / "bogus_rna.csv")
+    pd.DataFrame({"g1": [0.0]}, index=["TCGA-ZZ-9999-01A"]).to_csv(bogus)
+    out2 = str(tmp_path / "preds2.csv")
+    predict(ckpt, "subtyping", cohort["feature_dir"], out2,
+            rna_feature_csv=bogus, batch_size=8)
+    assert len(pd.read_csv(out2)) == len(df)

@@ -60,17 +60,31 @@ def timm_stub(monkeypatch):
 
 
 def _load_ref_tool(name, extra_modules=None):
-    """Import a reference tool fresh (argparse module state is per-import)."""
+    """Import a reference tool fresh (argparse module state is per-import).
+
+    extra_modules entries are RESTORED after the exec: leaving e.g. a
+    two-attribute 'datasets' stub in sys.modules would shadow HF `datasets`
+    for every later test in the session (the exact hazard CLAUDE.md warns
+    about, inverted)."""
+    saved = {}
     for mod, val in (extra_modules or {}).items():
+        saved[mod] = sys.modules.get(mod)
         sys.modules[mod] = val
     modname = f"reftool_{name}"
     sys.modules.pop(modname, None)
-    spec = importlib.util.spec_from_file_location(
-        modname, os.path.join(REF, "tools", f"{name}.py")
-    )
-    m = importlib.util.module_from_spec(spec)
-    sys.modules[modname] = m
-    spec.loader.exec_module(m)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            modname, os.path.join(REF, "tools", f"{name}.py")
+        )
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[modname] = m
+        spec.loader.exec_module(m)
+    finally:
+        for mod, prev in saved.items():
+            if prev is None:
+                sys.modules.pop(mod, None)
+            else:
+                sys.modules[mod] = prev
     return m
 
 

@@ -473,3 +473,57 @@ def test_patch_stream_propagates_decode_errors(tmp_path):
 
     with pytest.raises(ValueError, match="unreadable patch image"):
         list(batched_patch_stream([good, bad], batch_size=2))
+
+
+def test_patch_stream_abandonment_joins_producer(tmp_path):
+    """A consumer that stops iterating early (device error mid-slide, early
+    break) must not leak the producer thread blocked on its bounded queue:
+    generator close runs the stop/drain/join contract."""
+    import threading
+
+    import cv2
+    import numpy as np
+
+    from mirror_tpu.tools.gen_patch_feature import batched_patch_stream
+
+    for i in range(8):
+        cv2.imwrite(str(tmp_path / f"p{i}.jpg"),
+                    np.full((16, 16, 3), i, np.uint8))
+    files = sorted(str(p) for p in tmp_path.glob("*.jpg"))
+    before = set(threading.enumerate())
+    gen = batched_patch_stream(
+        files, batch_size=1, size=16, num_threads=2, prefetch=1
+    )
+    arr, n_valid = next(gen)
+    assert arr.shape == (1, 16, 16, 3) and n_valid == 1
+    gen.close()  # abandon mid-stream; close() runs the generator's finally
+    leaked = [
+        t for t in threading.enumerate() if t not in before and t.is_alive()
+    ]
+    assert not leaked, leaked
+
+
+def test_patch_stream_slow_consumer_receives_every_batch(tmp_path):
+    """A consumer slower than decode keeps the bounded queue Full when the
+    producer finishes — sentinel delivery must BLOCK, not evict a queued
+    data batch (evicting silently loses up to batch_size feature rows per
+    slide in production)."""
+    import time
+
+    import cv2
+    import numpy as np
+
+    from mirror_tpu.tools.gen_patch_feature import batched_patch_stream
+
+    n = 12
+    for i in range(n):
+        cv2.imwrite(str(tmp_path / f"p{i}.jpg"),
+                    np.full((16, 16, 3), i, np.uint8))
+    files = sorted(str(p) for p in tmp_path.glob("*.jpg"))
+    got = 0
+    for _, n_valid in batched_patch_stream(
+        files, batch_size=1, size=16, num_threads=2, prefetch=2
+    ):
+        time.sleep(0.05)  # decode outruns the consumer -> queue stays Full
+        got += n_valid
+    assert got == n, f"stream delivered {got}/{n} patches"
