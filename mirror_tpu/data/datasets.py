@@ -55,6 +55,12 @@ class _BaseDataset:
     # -- fold / mode -------------------------------------------------------
     def update_fold_nb(self, fold_nb: int):
         self.fold_nb = fold_nb
+        if self.splits is None:
+            # no-split mode: the whole cohort trains, there is nothing to
+            # fold (the reference only calls update_fold_nb when splits
+            # were given, dataset_pretrain.py:56-63 — the CLIs call it
+            # unconditionally, so guard here instead of in four places)
+            return self
         train_patients, val_patients = _read_split(self.splits, fold_nb)
         self.train_feature_ids = [
             f.split(".")[0]

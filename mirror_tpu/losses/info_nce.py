@@ -85,3 +85,51 @@ def info_nce(
             logits2 / temperature, labels, reduction, valid
         )
     return _xent(logits / temperature, labels, reduction, valid)
+
+
+def local_info_nce(
+    query: jax.Array,
+    positive_key: jax.Array,
+    mesh,
+    temperature: float = 0.1,
+    symmetric: bool = False,
+    valid: Optional[jax.Array] = None,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Per-shard in-batch InfoNCE — the reference's exact multi-GPU
+    semantics for train_pretrain (the torch loss sees only its rank's batch
+    and DDP averages the losses; ref losses/info_nce.py:9-172 has no
+    cross-rank gather). Under plain jit the sharded logit matmul is global
+    mathematics, so local negatives need shard_map: each data shard
+    computes its own [b_local, b_local] CE and the shards pmean — identical
+    to N DDP ranks of batch b_local. Mirrors losses/mirror_loss.py::
+    local_clip_loss, including the fully-padded-shard exclusion for eval
+    tails."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from jax.sharding import PartitionSpec as P
+
+    if valid is None:
+        valid = jnp.ones((query.shape[0],), jnp.float32)
+
+    def per_shard(q, pk, v):
+        has = jnp.sum(v) > 0
+        loss = jnp.where(
+            has,
+            info_nce(q, pk, temperature=temperature, symmetric=symmetric,
+                     valid=v),
+            0.0,
+        )
+        num = jax.lax.psum(loss, axis_name)
+        den = jax.lax.psum(has.astype(jnp.float32), axis_name)
+        return num / jnp.maximum(den, 1.0)
+
+    return shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(),
+    )(query, positive_key, valid)

@@ -16,6 +16,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _reduce(loss: jax.Array, reduction: str, valid=None) -> jax.Array:
+    """Per-sample -> reduced loss; ``valid`` ([N] 0/1) excludes padded rows
+    so a loader-padded tail batch reduces exactly like the reference's
+    small tail batch."""
+    if valid is not None:
+        loss = loss * valid
+        if reduction == "mean":
+            return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1.0)
+        if reduction == "sum":
+            return jnp.sum(loss)
+        return loss
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
 def nll_surv_loss(
     logits: jax.Array,
     event_times: jax.Array,
@@ -23,8 +41,13 @@ def nll_surv_loss(
     alpha: float = 0.0,
     eps: float = 1e-7,
     reduction: str = "mean",
+    valid=None,
 ) -> jax.Array:
-    """Negative log-likelihood for discrete survival (ref: losses/nll_surv.py)."""
+    """Negative log-likelihood for discrete survival (ref: losses/nll_surv.py).
+
+    ``valid`` ([N] 0/1, optional) drops loader-padded tail rows from the
+    reduction — the padded multi-chip tail batch then yields exactly the
+    reference's small-tail-batch loss/gradients."""
     n, m = logits.shape
     hazards = jax.nn.sigmoid(logits)
     hazards = jnp.clip(hazards, eps, 1.0 - eps)
@@ -50,12 +73,7 @@ def nll_surv_loss(
     )
     uncensored_only = jnp.where(uncensored, uncensored_nll, 0.0)
     loss = (1.0 - alpha) * neg_l + alpha * uncensored_only
-
-    if reduction == "mean":
-        return jnp.mean(loss)
-    if reduction == "sum":
-        return jnp.sum(loss)
-    return loss
+    return _reduce(loss, reduction, valid)
 
 
 def ce_surv_loss(
@@ -64,13 +82,14 @@ def ce_surv_loss(
     censoring: jax.Array,
     eps: float = 1e-7,
     reduction: str = "mean",
+    valid=None,
 ) -> jax.Array:
     """Cross-entropy over the full discrete event distribution
     (ref: losses/cross_entropy_surv.py).
 
     Builds p(event at t) = h_t * prod_{j<t}(1-h_j) for t in [0, M), plus
     p(no event) = S_M as class M, renormalizes, and takes CE against the
-    target bin (censored -> class M).
+    target bin (censored -> class M). ``valid`` as in nll_surv_loss.
     """
     n, m = logits.shape
     hazards = jnp.clip(jax.nn.sigmoid(logits), eps, 1.0 - eps)
@@ -91,9 +110,4 @@ def ce_surv_loss(
         jnp.take_along_axis(p_dist, targets[:, None], axis=1)[:, 0], eps
     )
     loss = -jnp.log(chosen_p)
-
-    if reduction == "mean":
-        return jnp.mean(loss)
-    if reduction == "sum":
-        return jnp.sum(loss)
-    return loss
+    return _reduce(loss, reduction, valid)

@@ -107,16 +107,18 @@ def fit_mesh_to_batch(mesh: Mesh, batch_size: int) -> Mesh:
     multi-host meshes must keep every process's devices."""
     import math
 
-    n = mesh.devices.size
+    model_parallel = mesh.shape.get("model", 1)
+    # the batch shards over the DATA axis only (shard_batch): with tensor
+    # parallelism the model axis must not enter the divisibility test
+    n = mesh.shape.get("data", mesh.devices.size)
     if batch_size % n == 0:
         return mesh
     if jax.process_count() > 1:
         raise SystemExit(
-            f"batch_size {batch_size} must divide over {n} devices "
+            f"batch_size {batch_size} must divide over the data axis ({n}) "
             "(cannot shrink a multi-process mesh)"
         )
     d = math.gcd(batch_size, n)
-    model_parallel = mesh.shape.get("model", 1)
     sub = create_mesh(num_devices=d * model_parallel,
                       model_parallel=model_parallel,
                       devices=list(mesh.devices.flat))

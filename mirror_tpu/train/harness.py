@@ -247,8 +247,9 @@ class TrainHarness:
                 }
                 if self.lr_controller is not None:
                     # plateau: the live lr is the controller's, not the
-                    # (identity) schedule the step function sees
-                    metrics["lr"] = self.lr_controller.current_lr
+                    # (identity) schedule the step function sees; applied_lr
+                    # includes --lr-noise (what the optimizer actually uses)
+                    metrics["lr"] = self.lr_controller.applied_lr
                 bs = next(iter(host_batch.values())).shape[0]
                 dt = time.time() - end
                 samples_m.update(bs / max(dt, 1e-9))
@@ -279,8 +280,9 @@ class TrainHarness:
         epoch_metrics = {k: float(v) / acc_count for k, v in sums.items()}
         if self.lr_controller is not None:
             # plateau mode: the step's (identity-schedule) lr is not the
-            # applied one — report the controller's, like the interval line
-            epoch_metrics["lr"] = self.lr_controller.current_lr
+            # applied one — report the controller's noised applied value,
+            # like the interval line
+            epoch_metrics["lr"] = self.lr_controller.applied_lr
         return epoch_metrics
 
     def _init_wandb(self):
@@ -429,7 +431,7 @@ class TrainHarness:
                 )
                 _logger.info(
                     "Plateau LR after epoch %d: %g", epoch,
-                    self.lr_controller.current_lr,
+                    self.lr_controller.applied_lr,
                 )
             if self.saver is not None:
                 # metric None (e.g. --no-val downstream runs, NaN epochs)
@@ -473,7 +475,18 @@ def common_setup(args, task: str):
     subprocess jobs)."""
     from mirror_tpu.utils import apply_forced_platform
 
-    apply_forced_platform()
+    device = getattr(args, "device", None)
+    if device and device.split(":")[0] == "cpu":
+        # --device cpu is honored (the reference's --device selects the
+        # torch device, ref train_mirror.py:655); any other non-default
+        # value has no TPU meaning and is warned about below
+        jax.config.update("jax_platforms", "cpu")
+    elif device not in (None, "tpu"):
+        _logger.warning(
+            "Ignoring --device=%r (no TPU meaning; use 'cpu' to force the "
+            "CPU backend)", device,
+        )
+    apply_forced_platform()  # MIRROR_PLATFORM outranks --device (launchers)
     setup_default_logging()
     from mirror_tpu.parallel.distributed import maybe_initialize
     from mirror_tpu.utils import random_seed

@@ -81,6 +81,31 @@ def get_host_lr(opt_state) -> float:
     return found[0]
 
 
+def fast_forward_schedule(opt_state, n_updates: int):
+    """Advance the schedule count to ``n_updates`` (timm fast-forwards its
+    reconstructed scheduler to start_epoch on resume, ref
+    train_mirror.py:971-975). Here the count lives in opt_state's
+    scale_by_schedule state, so resuming with --no-resume-opt (or passing
+    --start-epoch on a fresh run) would otherwise restart the schedule at
+    update 0 — training the remaining epochs at warmup/epoch-0 lr while
+    the logged lr (steps.applied_lr fallback on state.step) shows the
+    correct value. Only counts still at 0 are touched: a count restored
+    from a checkpoint is already exact (including mid-epoch recovery
+    checkpoints, which a blanket overwrite would corrupt)."""
+
+    def _is_sched(x) -> bool:
+        return isinstance(x, optax.ScaleByScheduleState)
+
+    def ff(s):
+        if _is_sched(s) and int(s.count) == 0:
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(n_updates, jnp.int32)
+            )
+        return s
+
+    return jax.tree.map(ff, opt_state, is_leaf=_is_sched)
+
+
 class PlateauController:
     """Host-side plateau LR schedule, timm PlateauLRScheduler semantics
     (ref create_scheduler_v2 surface, /root/reference/train_mirror.py:952-975;
@@ -127,9 +152,15 @@ class PlateauController:
         self.noise_std = noise_std
         self.noise_seed = noise_seed
         self.current_lr = warmup_lr if warmup_epochs > 0 else base_lr
+        self.applied_lr = self.current_lr
         self.best: float | None = None
         self.num_bad_epochs = 0
         self.cooldown_counter = 0
+        # one-time warmup -> base transition: keyed on a flag, not on the
+        # exact epoch equality, so a resume landing PAST warmup_epochs
+        # (--no-resume-opt at epoch 50, warmup 5) still restores base_lr
+        # instead of training every remaining epoch at warmup_lr
+        self._warmup_exited = warmup_epochs <= 0
 
     def _is_better(self, metric: float) -> bool:
         if self.best is None:
@@ -145,8 +176,9 @@ class PlateauController:
             # timm PlateauLRScheduler.step applies noise only on the
             # post-warmup branch; warmup lrs are exact
             return self.current_lr
-        if epoch == self.warmup_epochs:
+        if not self._warmup_exited:
             self.current_lr = self.base_lr
+            self._warmup_exited = True
         if metric is None:
             return self._with_noise(epoch, self.current_lr)
         # torch ReduceLROnPlateau order: best/num_bad update first, then the
@@ -177,6 +209,10 @@ class PlateauController:
 
     def step_epoch(self, state, epoch: int, metric: float | None):
         lr = self.epoch_lr(epoch, metric)
+        # the APPLIED value (incl. lr noise) for observability: current_lr
+        # stays noise-free for plateau decisions (timm semantics), but logs
+        # must show what the optimizer actually uses (harness reads this)
+        self.applied_lr = lr
         return state.replace(opt_state=set_host_lr(state.opt_state, lr))
 
     def sync_from_state(self, state) -> None:
@@ -185,6 +221,10 @@ class PlateauController:
         host-side counters don't — without this, the first plateau decision
         after a resume would silently jump the lr back to base_lr."""
         self.current_lr = get_host_lr(state.opt_state)
+        self.applied_lr = self.current_lr
+        # the restored lr IS the post-warmup (possibly decayed) value; the
+        # warmup->base transition must not overwrite it on the next epoch
+        self._warmup_exited = True
 
     @classmethod
     def from_args(cls, args, base_lr: float, decreasing_metric: bool = True):

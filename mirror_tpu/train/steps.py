@@ -64,9 +64,22 @@ def schedule_count(opt_state, fallback_step):
     """The count ``scale_by_schedule`` uses for the next update. Under
     optax.MultiSteps (grad accumulation) the inner schedule advances once per
     REAL update (``gradient_step``), not per micro-step — logging must read
-    the same counter or logged lr drifts from applied lr."""
+    the same counter or logged lr drifts from applied lr. Outside MultiSteps
+    the TRUE count is read from the ScaleByScheduleState itself: state.step
+    as a proxy diverges from it exactly when it matters (a --no-resume-opt
+    resume restores step but re-inits the optimizer), and the log would then
+    mask the applied lr."""
     if isinstance(opt_state, optax.MultiStepsState):
         return opt_state.gradient_step
+    found = []
+    jax.tree.map(
+        lambda s: found.append(s.count)
+        if isinstance(s, optax.ScaleByScheduleState) else None,
+        opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState),
+    )
+    if found:
+        return found[0]
     return fallback_step
 
 
@@ -299,9 +312,15 @@ def make_clip_train_step(
     ema_warmup: bool = False,
     schedule: Optional[Callable] = None,
     watch: bool = False,
+    contrastive_loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """InfoNCE dual-encoder pretraining (ref train_pretrain.py:1119-1122,
-    873-875; expects model(wsi, rna) -> (wsi_emb, rna_emb))."""
+    873-875; expects model(wsi, rna) -> (wsi_emb, rna_emb)).
+
+    ``contrastive_loss_fn(wsi_emb, rna_emb)`` overrides the default
+    global-batch info_nce — train_pretrain passes losses.local_info_nce
+    when --contrastive-negatives local on >1 data shard (reference DDP
+    parity, same posture as train_mirror's alignment_loss_fn)."""
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
@@ -310,6 +329,8 @@ def make_clip_train_step(
             wsi_emb, rna_emb = model.apply(
                 {"params": params}, batch["wsi"], batch["rna"], False, rngs=rngs
             )
+            if contrastive_loss_fn is not None:
+                return contrastive_loss_fn(wsi_emb, rna_emb)
             return info_nce(
                 wsi_emb, rna_emb, temperature=temperature, symmetric=symmetric
             )
@@ -326,16 +347,29 @@ def make_clip_train_step(
     return train_step
 
 
-def make_clip_eval_step(model, temperature: float = 0.1, symmetric: bool = False):
+def make_clip_eval_step(
+    model,
+    temperature: float = 0.1,
+    symmetric: bool = False,
+    contrastive_loss_fn: Optional[Callable] = None,
+):
+    """``contrastive_loss_fn(wsi_emb, rna_emb, valid=...)`` overrides the
+    global info_nce (see make_clip_train_step)."""
+
     def eval_step(params, batch: Dict, rng: jax.Array):
         rngs = _split_rngs(rng)
         wsi_emb, rna_emb = model.apply(
             {"params": params}, batch["wsi"], batch["rna"], True, rngs=rngs
         )
-        loss = info_nce(
-            wsi_emb, rna_emb, temperature=temperature, symmetric=symmetric,
-            valid=batch.get("valid"),
-        )
+        if contrastive_loss_fn is not None:
+            loss = contrastive_loss_fn(
+                wsi_emb, rna_emb, valid=batch.get("valid")
+            )
+        else:
+            loss = info_nce(
+                wsi_emb, rna_emb, temperature=temperature, symmetric=symmetric,
+                valid=batch.get("valid"),
+            )
         return {"loss": loss}
 
     return eval_step
@@ -346,16 +380,19 @@ def make_clip_eval_step(model, temperature: float = 0.1, symmetric: bool = False
 # ---------------------------------------------------------------------------
 
 def smoothed_xent(
-    logits: jax.Array, labels: jax.Array, smoothing: float = 0.0
+    logits: jax.Array, labels: jax.Array, smoothing: float = 0.0, valid=None
 ) -> jax.Array:
     """CE with label smoothing (timm LabelSmoothingCrossEntropy,
-    ref train_subtyping.py:982-990)."""
+    ref train_subtyping.py:982-990). ``valid`` ([B] 0/1) drops loader-padded
+    tail rows from the mean — the padded multi-chip tail batch then yields
+    exactly the reference's small-tail-batch loss/gradients."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
     if smoothing > 0:
-        smooth = -jnp.mean(logp, axis=-1)
-        return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
+        nll = (1.0 - smoothing) * nll + smoothing * -jnp.mean(logp, axis=-1)
+    if valid is not None:
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     return jnp.mean(nll)
 
 
@@ -377,7 +414,9 @@ def make_classifier_train_step(
             logits = model.apply(
                 {"params": params}, batch["wsi"], rna, False, rngs=rngs
             )
-            return smoothed_xent(logits, batch["label"], smoothing)
+            return smoothed_xent(
+                logits, batch["label"], smoothing, valid=batch.get("valid")
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = _apply_updates(state, grads, tx, ema_decay, ema_warmup)
@@ -426,10 +465,14 @@ def make_survival_train_step(
             logits = model.apply(
                 {"params": params}, batch["wsi"], rna, False, rngs=rngs
             ).astype(jnp.float32)
+            valid = batch.get("valid")
             if loss_name == "ce_surv":
-                return ce_surv_loss(logits, batch["label"], batch["censorship"])
+                return ce_surv_loss(
+                    logits, batch["label"], batch["censorship"], valid=valid
+                )
             return nll_surv_loss(
-                logits, batch["label"], batch["censorship"], alpha=loss_alpha
+                logits, batch["label"], batch["censorship"], alpha=loss_alpha,
+                valid=valid,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -61,3 +61,25 @@ def test_missing_rna_rows_are_filtered(tmp_path):
     )
     total = len(ds.train_feature_ids) + len(ds.val_feature_ids)
     assert total == 5
+
+
+def test_update_fold_nb_without_splits_is_a_noop(tmp_path):
+    """The CLIs call update_fold_nb unconditionally; without --split-dir it
+    must record the fold and keep the whole cohort trainable (the reference
+    only folds when splits were given, dataset_pretrain.py:56-63) instead
+    of raising on os.path.join(None, ...)."""
+    from mirror_tpu.data import PretrainDataset
+
+    paths = make_synthetic_cohort(
+        str(tmp_path), n_patients=6, feature_dim=16, rna_dim=24
+    )
+    ds = PretrainDataset(
+        paths["feature_dir"], paths["rna_csv"], num_wsi_feature_tokens=8,
+        splits=None,
+    )
+    n_all = len(ds)
+    assert n_all > 0
+    ds.update_fold_nb(3)  # what the CLIs do
+    assert ds.fold_nb == 3
+    ds.train()
+    assert len(ds) == n_all  # whole cohort still trains

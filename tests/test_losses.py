@@ -219,3 +219,42 @@ def test_mirror_loss_is_differentiable():
 
     g = jax.grad(f)(inp["wsi_alignment_emb"])
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_valid_masked_losses_equal_unpadded_subset():
+    """pad_last train tails: each loss with a valid mask over a padded batch
+    must equal the loss of the unpadded prefix (the reference's small
+    tail-batch semantics; --no-drop-last on >1 data shard pads + masks)."""
+    from mirror_tpu.losses import ce_surv_loss
+    from mirror_tpu.train.steps import smoothed_xent
+
+    rng = np.random.default_rng(7)
+    n, n_pad, m = 5, 3, 4
+    logits = rng.normal(size=(n + n_pad, m)).astype(np.float32)
+    labels = rng.integers(0, m, size=n + n_pad).astype(np.int32)
+    cens = rng.integers(0, 2, size=n + n_pad).astype(np.float32)
+    valid = np.concatenate([np.ones(n), np.zeros(n_pad)]).astype(np.float32)
+
+    got = float(smoothed_xent(jnp.array(logits), jnp.array(labels), 0.1,
+                              valid=jnp.array(valid)))
+    want = float(smoothed_xent(jnp.array(logits[:n]), jnp.array(labels[:n]), 0.1))
+    assert got == pytest.approx(want, rel=1e-6)
+
+    got = float(nll_surv_loss(jnp.array(logits), jnp.array(labels),
+                              jnp.array(cens), alpha=0.3,
+                              valid=jnp.array(valid)))
+    want = float(nll_surv_loss(jnp.array(logits[:n]), jnp.array(labels[:n]),
+                               jnp.array(cens[:n]), alpha=0.3))
+    assert got == pytest.approx(want, rel=1e-6)
+
+    got = float(ce_surv_loss(jnp.array(logits), jnp.array(labels),
+                             jnp.array(cens), valid=jnp.array(valid)))
+    want = float(ce_surv_loss(jnp.array(logits[:n]), jnp.array(labels[:n]),
+                              jnp.array(cens[:n])))
+    assert got == pytest.approx(want, rel=1e-6)
+
+    # padded rows contribute zero gradient
+    g = jax.grad(lambda lg: nll_surv_loss(
+        lg, jnp.array(labels), jnp.array(cens), alpha=0.3,
+        valid=jnp.array(valid)))(jnp.array(logits))
+    np.testing.assert_allclose(np.asarray(g)[n:], 0.0, atol=1e-8)

@@ -368,3 +368,96 @@ def test_opt_kwargs_consumed_or_rejected():
 
     with pytest.raises(ValueError, match="opt-kwargs"):
         make_optimizer(C, make_schedule(C, 1, 1e-2))
+
+
+def test_fast_forward_schedule_resume_semantics():
+    """timm fast-forwards its scheduler to start_epoch on resume (ref
+    train_mirror.py:971-975); our count lives in opt_state. Zero counts
+    advance; restored (nonzero) counts are left exact."""
+    from mirror_tpu.train.optim import fast_forward_schedule
+
+    class A(Args):
+        use_sched = True
+        sched = "cosine"
+        sched_on_updates = True
+        lr = 1e-3
+        warmup_epochs = 2
+        epochs = 10
+
+    sched = make_schedule(A, steps_per_epoch=4, base_lr=1e-3)
+    tx = make_optimizer(A, sched)
+    params = {"w": jnp.ones((3, 3))}
+    opt_state = tx.init(params)
+
+    # fresh state: count 0 -> fast-forward to epoch 5 (20 updates)
+    ff = fast_forward_schedule(opt_state, 5 * 4)
+    g = {"w": jnp.zeros((3, 3))}
+    _, st = tx.update(g, ff, params)
+
+    def sched_count(s):
+        found = []
+        jax.tree.map(
+            lambda x: found.append(int(x.count))
+            if isinstance(x, optax.ScaleByScheduleState) else None,
+            s, is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+        )
+        return found[0]
+
+    assert sched_count(ff) == 20
+    assert sched_count(st) == 21
+    # the first post-resume update uses the epoch-5 cosine lr, not warmup
+    updates, _ = tx.update({"w": jnp.ones((3, 3))}, ff, params)
+    lr_applied = float(-updates["w"][0, 0])
+    # rel 1e-4: adam's eps shifts the unit update by ~1e-8/|g|-ish terms;
+    # the point is the epoch-5 cosine lr (50x the warmup lr), not exactness
+    assert lr_applied == pytest.approx(float(sched(jnp.int32(20))), rel=1e-4)
+    assert lr_applied > 2 * float(sched(jnp.int32(0)))  # not the warmup lr
+
+    # a restored count is NOT overwritten (mid-epoch recovery accuracy)
+    ff2 = fast_forward_schedule(st, 5 * 4)
+    assert sched_count(ff2) == 21
+
+
+def test_plateau_resume_past_warmup_restores_base_lr():
+    """Resume with --no-resume-opt past warmup must not pin warmup_lr
+    forever (the old epoch == warmup_epochs equality never fired)."""
+    from mirror_tpu.train.optim import PlateauController
+
+    c = PlateauController(base_lr=1e-3, warmup_epochs=5, warmup_lr=1e-5)
+    assert c.current_lr == pytest.approx(1e-5)
+    lr = c.epoch_lr(50, None)  # resumed at epoch 50, no metric yet
+    assert lr == pytest.approx(1e-3)
+    # later epochs keep plateau decisions (no re-reset to base)
+    c.current_lr = 5e-4  # pretend a decay happened
+    assert c.epoch_lr(51, None) == pytest.approx(5e-4)
+
+    # through step_epoch (the harness path): HostLRState AND the reported
+    # applied_lr both land on base_lr, not warmup_lr
+    from mirror_tpu.train.optim import get_host_lr
+    from mirror_tpu.train.state import create_train_state
+
+    class P_(Args):
+        use_sched = True
+        sched = "plateau"
+        warmup_epochs = 5
+        warmup_lr = 1e-5
+        epochs = 60
+
+    sched = make_schedule(P_, steps_per_epoch=2, base_lr=1e-3)
+    tx = make_optimizer(P_, sched)
+    state = create_train_state({"w": jnp.ones((2,))}, tx)
+    c2 = PlateauController(base_lr=1e-3, warmup_epochs=5, warmup_lr=1e-5)
+    state = c2.step_epoch(state, 50, None)
+    assert get_host_lr(state.opt_state) == pytest.approx(1e-3)
+    assert c2.applied_lr == pytest.approx(1e-3)
+
+
+def test_plateau_contiguous_warmup_unchanged():
+    from mirror_tpu.train.optim import PlateauController
+
+    c = PlateauController(base_lr=1e-3, warmup_epochs=2, warmup_lr=1e-5)
+    lrs = [c.epoch_lr(e, None) for e in range(4)]
+    assert lrs[0] == pytest.approx(1e-5 + 0.5 * (1e-3 - 1e-5))
+    assert lrs[1] == pytest.approx(1e-3)
+    assert lrs[2] == pytest.approx(1e-3)
+    assert lrs[3] == pytest.approx(1e-3)

@@ -182,14 +182,22 @@ def test_survival_finetune(pretrain_ckpt, cohort, out_root):
     assert results["best_metric"] is None or 0 <= results["best_metric"] <= 1 or np.isnan(results["best_metric"])
 
 
-def test_clip_pretrain(cohort, out_root):
+def test_clip_pretrain(tmp_path, out_root):
+    # own cohort: batch 16 over the 8-device test mesh = 2 samples/shard —
+    # the default local-negatives mode (reference DDP parity, wired round 5)
+    # needs >= 2 rows per shard for a non-degenerate in-batch InfoNCE
+    # (1 row per rank is loss==0 in reference DDP too), and the shared
+    # 16-patient cohort's 12-sample train split can't fill a 16-row batch
+    paths = make_synthetic_cohort(
+        str(tmp_path), n_patients=40, feature_dim=32, rna_dim=96, num_folds=4
+    )
     cfg = _write_cfg(
         os.path.join(out_root, "clip.yaml"),
-        wsi_feature_dir=cohort["feature_dir"],
-        rna_feature_csv=cohort["rna_csv"],
-        split_dir=cohort["splits_dir"],
+        wsi_feature_dir=paths["feature_dir"],
+        rna_feature_csv=paths["rna_csv"],
+        split_dir=paths["splits_dir"],
         num_wsi_feature_tokens=32,
-        batch_size=8,
+        batch_size=16,
         epochs=1,
         lr=1e-4,
         amp=False,
@@ -228,3 +236,78 @@ def test_no_val_still_writes_checkpoints(cohort, out_root):
     run_dir = os.path.join(out_root, "noval_runs", "subtyping", "nv")
     assert os.path.exists(os.path.join(run_dir, "last.msgpack"))
     assert not glob.glob(os.path.join(run_dir, "checkpoint-*"))
+
+
+def test_subtyping_no_drop_last_pads_and_masks_tail(cohort, out_root):
+    """--no-drop-last on the 8-device mesh: the 12-sample train split with
+    batch 8 leaves a 4-row tail — the loader pads it to 8 and the loss
+    masks the padding (before round 5 the unpadded tail failed the Pallas
+    shard_map divisibility check one full epoch in)."""
+    cfg = _write_cfg(
+        os.path.join(out_root, "nodrop.yaml"),
+        wsi_feature_dir=cohort["subtype_feature_dir"],
+        rna_feature_csv=cohort["rna_csv"],
+        split_dir=cohort["splits_dir"],
+        classes=cohort["classes"],
+        num_classes=2,
+        num_wsi_feature_tokens=32,
+        batch_size=8,
+        drop_last=False,
+        epochs=1,
+        lr=1e-3,
+        amp=False,
+        model="mirror_classifier",
+        model_kwargs={**TINY_MODEL, "fusion": "concat"},
+    )
+    results = train_subtyping.main(["--config", cfg, "--fold-nb", "0"])
+    assert results["best_metric"] is not None
+    assert 0 <= results["best_metric"] <= 100
+
+
+def test_resume_no_resume_opt_fast_forwards_schedule(cohort, out_root):
+    """--resume with --no-resume-opt re-inits the optimizer, which used to
+    restart the cosine schedule at update 0 (warmup lr) while the log showed
+    the correct lr; timm fast-forwards the scheduler to start_epoch (ref
+    train_mirror.py:971-975). Assert via summary.csv that the resumed
+    epoch's APPLIED train lr sits on the cosine curve, not in warmup."""
+    import pandas as pd
+
+    common = dict(
+        wsi_feature_dir=cohort["subtype_feature_dir"],
+        rna_feature_csv=cohort["rna_csv"],
+        split_dir=cohort["splits_dir"],
+        classes=cohort["classes"],
+        num_classes=2,
+        num_wsi_feature_tokens=32,
+        batch_size=8,
+        amp=False,
+        use_sched=True,
+        sched="cosine",
+        sched_on_updates=True,
+        warmup_epochs=1,
+        warmup_lr=1e-5,
+        lr=1e-2,
+        min_lr=1e-6,
+        model="mirror_classifier",
+        model_kwargs={**TINY_MODEL, "fusion": "concat"},
+        output=os.path.join(out_root, "runs"),
+    )
+    cfg_a = _write_cfg(os.path.join(out_root, "ff_a.yaml"),
+                       epochs=4, experiment="ffa", **common)
+    train_subtyping.main(["--config", cfg_a, "--fold-nb", "0", "--epochs", "1"])
+    last = os.path.join(out_root, "runs", "subtyping", "ffa", "last.msgpack")
+    assert os.path.exists(last)
+
+    cfg_b = _write_cfg(os.path.join(out_root, "ff_b.yaml"),
+                       epochs=4, experiment="ffb", **common)
+    train_subtyping.main([
+        "--config", cfg_b, "--fold-nb", "0",
+        "--resume", last, "--no-resume-opt", "--epochs", "2",
+    ])
+    df = pd.read_csv(os.path.join(out_root, "runs", "subtyping", "ffb",
+                                  "summary.csv"))
+    # the resumed run trains epoch 1 only; with 1 update/epoch and warmup_t
+    # == 1 update, the post-warmup cosine lr is near base (1e-2) — without
+    # the fast-forward the optimizer re-applies the warmup lr (1e-5)
+    lr_resumed = float(df.iloc[0]["train_lr"])
+    assert lr_resumed > 1e-3, lr_resumed

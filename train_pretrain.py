@@ -38,7 +38,9 @@ def main(argv=None):
     if args.model == "mirror":
         args.model = "mirror_dual"
     rng, mesh, out_dir = common_setup(args, "pretrain_clip")
-    n_devices = mesh.devices.size
+    # batch sharding rides the DATA axis only (shard_batch); with
+    # --model-parallel the model axis must not enter batch divisibility
+    n_devices = mesh.shape["data"]
 
     dataset = PretrainDataset(
         args.wsi_feature_dir,
@@ -61,7 +63,8 @@ def main(argv=None):
 
     if args.batch_size % n_devices:
         raise SystemExit(
-            f"batch_size {args.batch_size} must divide over {n_devices} devices"
+            f"batch_size {args.batch_size} must divide over the data axis "
+            f"({n_devices} shards)"
         )
 
     wsi_dim = model.wsi_embed_dim
@@ -103,19 +106,62 @@ def main(argv=None):
         state, start_epoch = resume_checkpoint(
             state, args.resume, resume_opt=not args.no_resume_opt
         )
-        args.start_epoch = start_epoch
         if lr_controller is not None and not args.no_resume_opt:
             lr_controller.sync_from_state(state)
+    if args.start_epoch is not None:
+        # an explicit --start-epoch always overrides the resume epoch
+        # (ref train_mirror.py:966-968)
+        start_epoch = args.start_epoch
+    args.start_epoch = start_epoch
+    if start_epoch > 0:
+        # timm fast-forwards its scheduler to start_epoch (ref
+        # train_mirror.py:971-975); our schedule count lives in opt_state
+        # and survives --resume, so this only advances counts still at 0
+        # (--no-resume-opt, or --start-epoch on a fresh run)
+        from mirror_tpu.train.optim import fast_forward_schedule
+
+        state = state.replace(opt_state=fast_forward_schedule(
+            state.opt_state, start_epoch * updates_per_epoch
+        ))
+        if lr_controller is not None and (
+            not args.resume or args.no_resume_opt
+        ):
+            # plateau: exit warmup and write base_lr into HostLRState so
+            # the first resumed epoch doesn't train at warmup_lr
+            state = lr_controller.step_epoch(state, start_epoch - 1, None)
     state = shard_state(mesh, state, zero1=args.optimizer_sharding)  # TP/ZeRO-1-aware; == replicate by default
 
+    contrastive_loss_fn = None
+    if args.contrastive_negatives == "local" and n_devices > 1:
+        from functools import partial
+
+        from mirror_tpu.losses import local_info_nce
+
+        contrastive_loss_fn = partial(
+            local_info_nce, mesh=mesh, temperature=args.temperature,
+        )
+        _logger.info("contrastive loss: per-chip LOCAL negatives (parity mode)")
+        if args.batch_size // n_devices < 2:
+            _logger.warning(
+                "local negatives with %d sample/shard: the in-shard "
+                "contrastive term is degenerate (a 1-row batch has no "
+                "negatives, loss==0 — true of reference DDP at per-rank "
+                "batch 1 too); raise --batch-size or use "
+                "--contrastive-negatives global",
+                args.batch_size // n_devices,
+            )
     train_step = make_clip_train_step(
         model, tx, temperature=args.temperature,
         ema_decay=args.model_ema_decay if args.model_ema else None,
         ema_warmup=args.model_ema_warmup,
         schedule=schedule,
         watch=args.wandb_watch,
+        contrastive_loss_fn=contrastive_loss_fn,
     )
-    eval_step = jax.jit(make_clip_eval_step(model, temperature=args.temperature))
+    eval_step = jax.jit(make_clip_eval_step(
+        model, temperature=args.temperature,
+        contrastive_loss_fn=contrastive_loss_fn,
+    ))
 
     eval_fn = None
     if args.val and args.split_dir is not None:
@@ -156,7 +202,8 @@ def main(argv=None):
 
     harness = TrainHarness(
         args, mesh, state, train_step, train_loader, eval_fn, saver, out_dir,
-        rng, eval_metric="loss", decreasing_metric=True, schedule=schedule,
+        rng, eval_metric=args.eval_metric, decreasing_metric=True,
+        schedule=schedule,
         lr_controller=lr_controller, num_epochs=scheduled_epochs(args),
     )
     return harness.run()

@@ -78,7 +78,9 @@ def main(argv=None):
         # silently filtered and then crashes deep in init)
         args.model = "mirror_classifier"
     rng, mesh, out_dir = common_setup(args, "subtyping")
-    n_devices = mesh.devices.size
+    # batch sharding rides the DATA axis only (shard_batch); with
+    # --model-parallel the model axis must not enter batch divisibility
+    n_devices = mesh.shape["data"]
 
     assert args.classes, "subtyping requires --classes"
     dataset = SubtypingDataset(
@@ -140,7 +142,7 @@ def main(argv=None):
         # few-shot support sets clamp the batch below the chip count; run
         # data-parallel over the largest divisor instead of failing
         mesh = fit_mesh_to_batch(mesh, batch_size)
-        n_devices = mesh.devices.size
+        n_devices = mesh.shape["data"]
         _logger.warning(
             "batch %d does not divide the slice; using %d of %d devices",
             batch_size, n_devices, len(jax.devices()),
@@ -149,6 +151,11 @@ def main(argv=None):
         dataset, batch_size, shuffle=not args.weighted_sampler,
         drop_last=args.drop_last, weighted=args.weighted_sampler, seed=args.seed,
         native_threads=args.workers,
+        # --no-drop-last: pad the tail batch and let the loss mask it via
+        # batch["valid"] (exact small-tail-batch semantics) — an unpadded
+        # tail would fail the Pallas shard_map divisibility check on >1
+        # data shard, one whole epoch in
+        pad_last=not args.drop_last,
     )
     updates_per_epoch = max(
         (len(train_loader) + args.grad_accum_steps - 1) // args.grad_accum_steps, 1
@@ -171,9 +178,29 @@ def main(argv=None):
         state, start_epoch = resume_checkpoint(
             state, args.resume, resume_opt=not args.no_resume_opt
         )
-        args.start_epoch = start_epoch
         if lr_controller is not None and not args.no_resume_opt:
             lr_controller.sync_from_state(state)
+    if args.start_epoch is not None:
+        # an explicit --start-epoch always overrides the resume epoch
+        # (ref train_mirror.py:966-968)
+        start_epoch = args.start_epoch
+    args.start_epoch = start_epoch
+    if start_epoch > 0:
+        # timm fast-forwards its scheduler to start_epoch (ref
+        # train_mirror.py:971-975); our schedule count lives in opt_state
+        # and survives --resume, so this only advances counts still at 0
+        # (--no-resume-opt, or --start-epoch on a fresh run)
+        from mirror_tpu.train.optim import fast_forward_schedule
+
+        state = state.replace(opt_state=fast_forward_schedule(
+            state.opt_state, start_epoch * updates_per_epoch
+        ))
+        if lr_controller is not None and (
+            not args.resume or args.no_resume_opt
+        ):
+            # plateau: exit warmup and write base_lr into HostLRState so
+            # the first resumed epoch doesn't train at warmup_lr
+            state = lr_controller.step_epoch(state, start_epoch - 1, None)
     state = shard_state(mesh, state, zero1=args.optimizer_sharding)  # TP/ZeRO-1-aware; == replicate by default
 
     # smoothing > 0 selects LabelSmoothingCE, else plain CE
