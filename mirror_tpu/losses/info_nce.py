@@ -13,9 +13,13 @@ import jax.numpy as jnp
 
 
 def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    # F.normalize semantics: x / max(||x||, eps)
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    # F.normalize default semantics (the reference's info_nce.py uses the
+    # default eps=1e-12). Delegates to the shared implementation so the
+    # alignment-head and InfoNCE paths normalize with identical numerics
+    # (fp32-accumulated norm — a bf16 sum of 768 squares is ~1% off).
+    from mirror_tpu.models.layers import l2_normalize
+
+    return l2_normalize(x, eps=eps)
 
 
 def _xent(
@@ -72,15 +76,21 @@ def info_nce(
             negative_logits = query @ negative_keys.T
         else:  # paired
             negative_logits = jnp.einsum("nd,nmd->nm", query, negative_keys)
-        logits = jnp.concatenate([positive_logit, negative_logits], axis=1)
+        # fp32 from here: the reference's F.cross_entropy promotes its half
+        # logits to fp32 under autocast; the similarity matmuls above stay
+        # in compute dtype (autocast fp16 there — bf16 is faithful)
+        logits = jnp.concatenate(
+            [positive_logit, negative_logits], axis=1
+        ).astype(jnp.float32)
         labels = jnp.zeros(logits.shape[0], dtype=jnp.int32)
         return _xent(logits / temperature, labels, reduction)
 
-    # In-batch negatives: positives on the diagonal.
-    logits = query @ positive_key.T
+    # In-batch negatives: positives on the diagonal. fp32 after the matmul,
+    # as above.
+    logits = (query @ positive_key.T).astype(jnp.float32)
     labels = jnp.arange(logits.shape[0], dtype=jnp.int32)
     if symmetric:
-        logits2 = positive_key @ query.T
+        logits2 = (positive_key @ query.T).astype(jnp.float32)
         return 0.5 * _xent(logits / temperature, labels, reduction, valid) + 0.5 * _xent(
             logits2 / temperature, labels, reduction, valid
         )

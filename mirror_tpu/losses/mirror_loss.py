@@ -173,6 +173,24 @@ def mirror_loss(
             gather_axis=gather_axis, valid=valid,
         )
 
+    # fp32 at the loss boundary for the non-contrastive terms: the torch
+    # reference under autocast runs F.softmax/F.kl_div in fp32 and its
+    # half-precision reductions accumulate in fp32, so with model
+    # dtype=bfloat16 a bf16 log_softmax over 3000 prototypes (~0.09 max abs
+    # logprob error) or bf16 style/retention sums would diverge ~1e-3 rel
+    # from the reference every step. The contrastive matmul above stays in
+    # compute dtype — the reference's autocast logits matmul is fp16 there
+    # (CLAUDE.md: bf16 is faithful for matmuls on the compute path).
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    wsi_retention_emb, wsi_retention_target = map(
+        f32, (wsi_retention_emb, wsi_retention_target))
+    rna_retention_emb, rna_retention_target = map(
+        f32, (rna_retention_emb, rna_retention_target))
+    wsi_mask, rna_mask = f32(wsi_mask), f32(rna_mask)
+    wsi_mu, wsi_logstd, rna_mu, rna_logstd = map(
+        f32, (wsi_mu, wsi_logstd, rna_mu, rna_logstd))
+    wsi_score, rna_score = f32(wsi_score), f32(rna_score)
+
     if valid is None:
         n_valid = jnp.asarray(float(wsi_alignment_emb.shape[0]), jnp.float32)
         row_w = None

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .layers import trunc_normal_init
+
 
 # ---------------------------------------------------------------------------
 # ViT-B/16 (Phikon-compatible)
@@ -257,16 +259,18 @@ class ViTB16(nn.Module):
         )(images.astype(self.dtype or jnp.float32))
         x = x.reshape(b, -1, self.hidden_size)
         n_patches = x.shape[1]
+        # layers.trunc_normal_init == torch trunc_normal_ (absolute
+        # +-2.0 cutoffs, effectively untruncated N(0, 0.02^2)); jax's
+        # truncated_normal would cut at +-2 sigma and shrink the init std
         cls = self.param(
-            "cls_token", jax.nn.initializers.truncated_normal(0.02),
-            (1, 1, self.hidden_size),
+            "cls_token", trunc_normal_init(0.02), (1, 1, self.hidden_size)
         )
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.hidden_size)), x],
             axis=1,
         )
         pos = self.param(
-            "pos_embed", jax.nn.initializers.truncated_normal(0.02),
+            "pos_embed", trunc_normal_init(0.02),
             (1, n_patches + 1, self.hidden_size),
         )
         x = x + pos.astype(x.dtype)

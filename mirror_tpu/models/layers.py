@@ -44,11 +44,17 @@ def torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
-def trunc_normal_init(std: float = 0.02) -> Callable:
-    inner = jax.nn.initializers.truncated_normal(stddev=std)
+def trunc_normal_init(std: float = 0.02, a: float = -2.0, b: float = 2.0) -> Callable:
+    """timm/torch ``trunc_normal_`` semantics: ``a``/``b`` are ABSOLUTE
+    cutoffs (defaults -2.0/2.0 == +-100 sigma at std 0.02 — effectively an
+    UNtruncated N(0, std^2), measured std 0.0200 with tails past 0.10).
+    NOT ``jax.nn.initializers.truncated_normal``, whose bounds are in sigma
+    units (+-2 sigma would hard-cut at +-0.04 and shrink the std to
+    0.0176 — a 12%-smaller init scale than the reference)."""
 
     def init(key, shape, dtype=jnp.float32):
-        return inner(key, shape, dtype)
+        x = jax.random.truncated_normal(key, a / std, b / std, shape, dtype)
+        return (std * x).astype(dtype)
 
     return init
 

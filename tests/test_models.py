@@ -198,3 +198,20 @@ def test_mirror_train_vs_eval_dropout():
     # different masking rng -> different retention output
     o3 = model.apply(params, wsi, rna, 0.75, 0.75, True, rngs=_rngs(2))
     assert not np.allclose(np.asarray(o1.wsi_mask), np.asarray(o3.wsi_mask))
+
+
+def test_trunc_normal_init_matches_timm_statistics():
+    """timm trunc_normal_(std=0.02) cuts at ABSOLUTE +-2.0 (+-100 sigma —
+    effectively untruncated), not +-2 sigma: the init must keep std 0.020
+    and tails past 0.04 (jax's sigma-unit truncated_normal gives std 0.0176
+    and a hard 0.04 cut — a 12% smaller init scale than the reference)."""
+    import jax
+
+    from mirror_tpu.models.layers import trunc_normal_init
+
+    x = np.asarray(
+        trunc_normal_init(0.02)(jax.random.PRNGKey(0), (400, 768))
+    )
+    assert x.std() == pytest.approx(0.02, rel=0.02)
+    assert np.abs(x).max() > 0.05  # tails exist
+    assert np.abs(x).max() <= 2.0  # the absolute timm cutoff
