@@ -61,7 +61,11 @@ def set_spmd_mesh(mesh: Optional[Mesh]) -> None:
     if mesh is not None and mesh.devices.size > 1:
         assert "data" in mesh.axis_names, mesh
         new = mesh
-    if new is not _SPMD_MESH:
+    # content comparison (Mesh defines __eq__): re-registering an equal but
+    # distinct Mesh object (predict after common_setup, tests re-entering a
+    # CLI) must NOT throw away every compiled program — a full-model
+    # retrace is ~30 s through this rig's remote-compile service
+    if new != _SPMD_MESH:
         _SPMD_MESH = new
         jax.clear_caches()
 

@@ -36,21 +36,64 @@ EXT_ORBAX = ".orbax"
 
 def _to_host(tree: Any) -> Any:
     def get(x: Any) -> np.ndarray:
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            # multi-host + tensor-parallel state: a model-sharded leaf has
-            # shards on other hosts, so np.asarray would raise. Re-replicate
-            # over the same mesh (XLA all-gathers across hosts), then read
-            # the local copy. Pure-DP multi-host state is replicated and
-            # never takes this branch.
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            mesh = x.sharding.mesh
-            x = jax.jit(
-                lambda a: a, out_shardings=NamedSharding(mesh, PartitionSpec())
-            )(x)
+        if (
+            isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+            and not x.is_fully_replicated
+        ):
+            # A model/ZeRO-sharded MULTI-HOST leaf: assembling it needs a
+            # cross-host collective that every process must enter, but the
+            # saver runs on process 0 only — a process-0-only jit gather
+            # here would DEADLOCK the job (the old code did exactly that,
+            # and it also caught pure-DP replicated leaves, which
+            # np.asarray reads locally just fine). The harness gathers
+            # via gather_for_save() on all processes before saving.
+            raise RuntimeError(
+                "cannot save a cross-host-sharded leaf from one process: "
+                "call gather_for_save(state) on EVERY process before the "
+                "process-0 saver (train/harness.py does)"
+            )
         return np.asarray(x)
 
     return jax.tree.map(get, tree)
+
+
+def gather_for_save(state: Any) -> Any:
+    """Re-replicate cross-host-sharded leaves (multi-host TP/ZeRO-1) so the
+    process-0-gated saver can read them locally. MUST run on every process
+    (the re-replication is an SPMD collective); a no-op single-process or
+    when all leaves are already addressable/replicated — the common cases
+    pay nothing."""
+    leaves = [
+        x for x in jax.tree.leaves(state)
+        if isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+        and not x.is_fully_replicated
+    ]
+    if not leaves:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = leaves[0].sharding.mesh
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def _needs(x):
+        return (
+            isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+            and not x.is_fully_replicated
+        )
+
+    flat, treedef = jax.tree.flatten(state)
+    idx = [i for i, x in enumerate(flat) if _needs(x)]
+    # one jit for all sharded leaves (per-leaf jits would be one remote
+    # compile each)
+    gathered = jax.jit(
+        lambda xs: xs, out_shardings=(replicated,) * len(idx)
+    )(tuple(flat[i] for i in idx))
+    for i, g in zip(idx, gathered):
+        flat[i] = g
+    return jax.tree.unflatten(treedef, flat)
 
 
 def save_checkpoint_file(
@@ -60,8 +103,16 @@ def save_checkpoint_file(
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
+        # near-atomic like the msgpack path below: write the directory
+        # under a tmp name, then swap. A crash mid-save must never have
+        # already deleted the previous last/model_best (the old
+        # delete-then-write lost it); the remaining window is two cheap
+        # metadata ops instead of the full serialize+write.
+        tmp = path + ".tmp"
+        _remove_checkpoint(tmp)  # stale tmp from an earlier crash
+        ocp.PyTreeCheckpointer().save(tmp, payload)
         _remove_checkpoint(path)  # dir OR stale file (format switch)
-        ocp.PyTreeCheckpointer().save(path, payload)
+        os.rename(tmp, path)
         return
     data = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
@@ -130,11 +181,16 @@ class CheckpointSaver:
         # safe; _to_host pulls them at write time.
         self.async_save = async_save
         self._save_thread: Optional[threading.Thread] = None
+        self._save_error: Optional[BaseException] = None
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     def _write(self, paths_payloads) -> None:
-        for path, payload in paths_payloads:
-            save_checkpoint_file(path, payload, fmt=self.fmt)
+        try:
+            for path, payload in paths_payloads:
+                save_checkpoint_file(path, payload, fmt=self.fmt)
+        except BaseException as e:  # noqa: BLE001 — re-raised in wait()
+            self._save_error = e
+            raise
 
     def _dispatch(self, paths_payloads) -> None:
         if not self.async_save:
@@ -147,10 +203,19 @@ class CheckpointSaver:
         self._save_thread.start()
 
     def wait(self) -> None:
-        """Block until any in-flight save finishes (call before exiting)."""
+        """Block until any in-flight save finishes (call before exiting).
+
+        Re-raises a background write failure (ENOSPC, permissions): a save
+        that silently died with its daemon thread would let training
+        'succeed' with stale or missing checkpoints on disk."""
         if self._save_thread is not None:
             self._save_thread.join()
             self._save_thread = None
+        if self._save_error is not None:
+            err, self._save_error = self._save_error, None
+            raise RuntimeError(
+                f"background checkpoint write failed: {err!r}"
+            ) from err
 
     def _payload(self, state, epoch: int, metric: Optional[float]) -> Dict[str, Any]:
         # strings/ints stay native python; only array pytrees go through

@@ -194,6 +194,16 @@ class TrainHarness:
         self.num_epochs = num_epochs if num_epochs is not None else args.epochs
         self.global_step = 0
 
+    def _snapshot_state(self):
+        """State as the saver will read it. Cross-host-sharded leaves
+        (multi-host TP/ZeRO-1) re-replicate via a collective — which is why
+        this MUST run on every process, before the process-0-gated saver
+        (checkpoint.gather_for_save; a process-0-only gather deadlocks).
+        Single-process / replicated state: a no-op leaf scan."""
+        from mirror_tpu.train.checkpoint import gather_for_save
+
+        return gather_for_save(self.state)
+
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         args = self.args
         meters: Dict[str, AverageMeter] = {}
@@ -267,11 +277,14 @@ class TrainHarness:
                     samples_m.val,
                 )
             if (
-                self.saver is not None
-                and args.recovery_interval
+                args.recovery_interval
                 and (batch_idx + 1) % args.recovery_interval == 0
             ):
-                self.saver.save_recovery(self.state, epoch, batch_idx)
+                # _snapshot_state OUTSIDE the saver gate: on multi-host it is
+                # a collective every process must enter (saver is process-0)
+                snap = self._snapshot_state()
+                if self.saver is not None:
+                    self.saver.save_recovery(snap, epoch, batch_idx)
             end = time.time()
 
         if metric_acc is None:
@@ -334,6 +347,16 @@ class TrainHarness:
             # pointing at a dead harness would swallow later SIGTERMs
             if old_term is not None:
                 signal.signal(signal.SIGTERM, old_term)
+            # drain an in-flight async checkpoint write on exception paths
+            # too — interpreter exit would kill the daemon writer mid-file
+            # (the normal path drains inside _run_epochs, which re-raises
+            # write failures; here swallow-with-log so a save error never
+            # masks the original exception)
+            if self.saver is not None:
+                try:
+                    self.saver.wait()
+                except Exception:
+                    _logger.exception("checkpoint write failed during shutdown")
 
     def _run_epochs(self, args, best_metric, best_epoch):
         start_epoch = getattr(args, "start_epoch", None) or 0
@@ -357,8 +380,9 @@ class TrainHarness:
                 train_metrics = self.train_one_epoch(epoch)
             if self._stop_requested:
                 # grace windows are short: skip eval/summary, just persist
+                snap = self._snapshot_state()  # all-process (see above)
                 if self.saver is not None:
-                    self.saver.save_recovery(self.state, epoch, -1)
+                    self.saver.save_recovery(snap, epoch, -1)
                     self.saver.wait()  # make the recovery write SYNCHRONOUS
                     _logger.warning(
                         "preemption: recovery checkpoint written during "
@@ -433,12 +457,13 @@ class TrainHarness:
                     "Plateau LR after epoch %d: %g", epoch,
                     self.lr_controller.applied_lr,
                 )
+            snap = self._snapshot_state()  # all-process (multi-host TP/ZeRO)
             if self.saver is not None:
                 # metric None (e.g. --no-val downstream runs, NaN epochs)
                 # writes only the rolling ``last`` (no per-epoch file: those
                 # would never be pruned by best-k ranking)
                 best_metric, best_epoch = self.saver.save_checkpoint(
-                    self.state, epoch, metric_val
+                    snap, epoch, metric_val
                 )
             elif metric_val is not None and not np.isnan(metric_val):
                 better = best_metric is None or (

@@ -159,3 +159,78 @@ def test_resume_restores_step_counter(tmp_path):
     )
     assert int(restored.step) == 123
     assert start_epoch == 8
+
+
+def test_orbax_save_is_atomic_and_preserves_previous_on_failure(tmp_path):
+    """Orbax writes used to be delete-then-write: a crash mid-save lost the
+    previous last/model_best permanently. Now the new tree lands under a tmp
+    name first, so a failing save leaves the old checkpoint intact (and a
+    successful one leaves no tmp behind)."""
+    from mirror_tpu.train.checkpoint import (
+        load_checkpoint_file,
+        save_checkpoint_file,
+    )
+
+    path = str(tmp_path / "last.orbax")
+    save_checkpoint_file(path, {"epoch": 1, "v": np.ones(3)}, fmt="orbax")
+    assert not os.path.exists(path + ".tmp")
+    assert int(np.asarray(load_checkpoint_file(path)["epoch"])) == 1
+
+    import orbax.checkpoint as ocp
+
+    real_save = ocp.PyTreeCheckpointer.save
+    mp = pytest.MonkeyPatch()
+    mp.setattr(
+        ocp.PyTreeCheckpointer, "save",
+        lambda self, p, payload: (_ for _ in ()).throw(OSError("disk full")),
+    )
+    try:
+        with pytest.raises(OSError):
+            save_checkpoint_file(
+                path, {"epoch": 2, "v": np.zeros(3)}, fmt="orbax"
+            )
+    finally:
+        mp.undo()
+    # the previous checkpoint survived the failed save
+    assert int(np.asarray(load_checkpoint_file(path)["epoch"])) == 1
+    _ = real_save  # keep a reference so the patch target stays importable
+
+
+def test_async_save_failure_surfaces_in_wait(tmp_path):
+    """A background write error (ENOSPC, permissions) must fail the run at
+    the next wait(), not die silently with the daemon thread."""
+    import mirror_tpu.train.checkpoint as ckpt_mod
+    from mirror_tpu.train.checkpoint import CheckpointSaver
+
+    params = {"w": jnp.ones((2, 2))}
+    tx = optax.sgd(1e-2)
+    state = create_train_state(params, tx)
+
+    saver = CheckpointSaver(str(tmp_path), async_save=True)
+    mp = pytest.MonkeyPatch()
+    mp.setattr(
+        ckpt_mod, "save_checkpoint_file",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("no space left")),
+    )
+    try:
+        saver.save_checkpoint(state, epoch=0, metric=1.0)
+        with pytest.raises(RuntimeError, match="background checkpoint write"):
+            saver.wait()
+    finally:
+        mp.undo()
+    saver.wait()  # the error is consumed; saver is reusable
+
+
+def test_gather_for_save_noop_and_to_host_guard():
+    """Single-process / fully-addressable state: gather_for_save is an
+    identity scan (the multi-host collective path can't be simulated here,
+    but the no-op contract is what every single-host run relies on)."""
+    from mirror_tpu.train.checkpoint import _to_host, gather_for_save
+
+    params = {"w": jnp.ones((2, 2)), "b": jnp.zeros(3)}
+    tx = optax.sgd(1e-2)
+    state = create_train_state(params, tx)
+    out = gather_for_save(state)
+    assert out is state  # no leaves need gathering -> identity
+    host = _to_host(out.params)
+    np.testing.assert_array_equal(host["w"], np.ones((2, 2)))

@@ -172,10 +172,12 @@ out = float(jax.jit(lambda s, t: jnp.sum(s["w"]) + jnp.sum(t["x"]))(
 
 # tensor-parallel state across hosts: a (data=2, model=2) mesh spanning both
 # processes, an "mlp/fc1" kernel column-sharded over "model" -> the leaf is
-# NOT fully addressable per process, so the checkpoint host-copy must take
-# its re-replicating gather branch (train/checkpoint._to_host)
+# NOT fully addressable per process. The save protocol: gather_for_save on
+# EVERY process (it is a collective), then _to_host reads locally; calling
+# _to_host directly on the sharded leaf must raise the deadlock guard
+# instead of hanging a process-0-only collective.
 from mirror_tpu.parallel import shard_state
-from mirror_tpu.train.checkpoint import _to_host
+from mirror_tpu.train.checkpoint import _to_host, gather_for_save
 
 mesh_tp = create_mesh(model_parallel=2)
 host_tree = {"mlp": {"fc1": {"kernel":
@@ -184,8 +186,14 @@ tp_tree = shard_state(mesh_tp, host_tree)
 leaf = tp_tree["mlp"]["fc1"]["kernel"]
 assert "model" in str(leaf.sharding.spec), leaf.sharding
 assert not leaf.is_fully_addressable
+try:
+    _to_host(tp_tree)
+    raise SystemExit("expected the cross-host _to_host guard to raise")
+except RuntimeError as e:
+    assert "gather_for_save" in str(e), e
+gathered = gather_for_save(tp_tree)  # collective: BOTH processes run this
 np.testing.assert_array_equal(
-    _to_host(tp_tree)["mlp"]["fc1"]["kernel"],
+    _to_host(gathered)["mlp"]["fc1"]["kernel"],
     host_tree["mlp"]["fc1"]["kernel"],
 )
 y = jax.jit(lambda t: jnp.sum(t["mlp"]["fc1"]["kernel"] ** 2))(tp_tree)

@@ -368,3 +368,37 @@ def test_mirror_train_step_sharded_pallas_runs(mesh8):
     finally:
         set_spmd_mesh(None)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_set_spmd_mesh_equal_mesh_keeps_caches():
+    """Re-registering an equal-but-distinct Mesh (predict after
+    common_setup, tests re-entering a CLI) must not clear every compiled
+    program — Mesh compares by content."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import mirror_tpu.ops._common as common
+    from mirror_tpu.ops._common import active_spmd_mesh, set_spmd_mesh
+
+    devices = jax.devices()[:4]
+    mesh_a = Mesh(np.array(devices).reshape(4, 1), ("data", "model"))
+    mesh_b = Mesh(np.array(devices).reshape(4, 1), ("data", "model"))
+    # jax 0.9 interns Mesh (mesh_a IS mesh_b here); the registry compares
+    # by content (!=) so the no-clear contract also holds on jax versions
+    # without interning
+    assert mesh_a == mesh_b
+
+    prev = active_spmd_mesh()
+    cleared = []
+    mp = pytest.MonkeyPatch()
+    mp.setattr(common.jax, "clear_caches", lambda: cleared.append(1))
+    try:
+        set_spmd_mesh(mesh_a)
+        n0 = len(cleared)
+        set_spmd_mesh(mesh_b)  # equal content: no cache clear
+        assert len(cleared) == n0
+        set_spmd_mesh(None)  # real change: clears
+        assert len(cleared) == n0 + 1
+    finally:
+        mp.undo()
+        set_spmd_mesh(prev)

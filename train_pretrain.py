@@ -176,6 +176,11 @@ def main(argv=None):
                 val_ds, val_batch, shuffle=False, drop_last=False, pad_last=True,
                 seed=args.seed, native_threads=args.workers,
             )
+            # fresh token subsample per eval epoch (the reference redraws via
+            # the global RNG each validate) — a fixed epoch-0 draw would let
+            # best-checkpoint selection overfit one particular subsample of
+            # each long slide (same guard as harness.gather_eval_outputs)
+            loader.set_epoch(epoch)
             meters = {}
             for i, host_batch in enumerate(loader):
                 # GLOBAL valid count: multi-host batches are per-process
