@@ -103,14 +103,15 @@ def spmd_wrap(fn, *args: Any, replicated: Sequence[int] = ()) -> Any:
     in_specs = tuple(
         P() if i in replicated else P("data") for i in range(len(args))
     )
-    out_specs = jax.tree.map(
-        lambda _: P("data"), jax.eval_shape(fn, *args)
-    )
+    # out_specs as a pytree PREFIX: every kernel output is batch-sharded, so
+    # a single P("data") covers any output structure — no jax.eval_shape
+    # pre-trace (which abstractly traced every kernel a second time per
+    # compilation on a rig where full-model retraces already cost ~30 s).
     # check_vma=False: the bodies are custom_vjp pallas calls whose
     # replication types shard_map cannot infer; outputs are genuinely
-    # batch-sharded (out_specs) so no correctness is lost.
+    # batch-sharded so no correctness is lost.
     return shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        fn, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
         check_vma=False,
     )(*args)
 

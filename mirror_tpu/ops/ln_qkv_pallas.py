@@ -177,12 +177,7 @@ def _bwd_call(x, s, b, w_hm, gq, gk, gv, heads, dh, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def ln_qkv_fused(x, ln_scale, ln_bias, w, heads, eps=1e-5):
-    """(q, k, v) head-major [b, h, n, dh] = split(LN(x; scale, bias) @ w).
-
-    x: [b, n, d]; ln_scale/ln_bias: [d] fp32; w: [d, 3*h*dh] in ``to_qkv``'s
-    param layout (q | k | v blocks), already cast to the compute dtype.
-    """
+def _ln_qkv_fused(x, ln_scale, ln_bias, w, heads, eps=1e-5):
     d = x.shape[-1]
     dh = w.shape[1] // (3 * heads)
     return _fwd_call(x, ln_scale, ln_bias, _head_major_w(w, heads, dh),
@@ -212,4 +207,22 @@ def _vjp_bwd(heads, eps, res, g):
     return gx, gs.astype(ln_scale.dtype), gb.astype(ln_bias.dtype), gw
 
 
-ln_qkv_fused.defvjp(_vjp_fwd, _vjp_bwd)
+_ln_qkv_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def ln_qkv_fused(x, ln_scale, ln_bias, w, heads, eps=1e-5):
+    """(q, k, v) head-major [b, h, n, dh] = split(LN(x; scale, bias) @ w).
+
+    x: [b, n, d]; ln_scale/ln_bias: [d] fp32; w: [d, 3*h*dh] in ``to_qkv``'s
+    param layout (q | k | v blocks), already cast to the compute dtype.
+
+    Public entry: like every kernel entry point, shard_maps itself over the
+    batch on a multi-device mesh (ops/_common.spmd_wrap — Mosaic custom
+    calls cannot be GSPMD-partitioned), weights replicated.
+    """
+    from mirror_tpu.ops._common import spmd_wrap
+
+    return spmd_wrap(
+        lambda x, s, b, w: _ln_qkv_fused(x, s, b, w, heads, eps),
+        x, ln_scale, ln_bias, w, replicated=(1, 2, 3),
+    )

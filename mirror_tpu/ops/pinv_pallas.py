@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mirror_tpu.ops._common import spmd_wrap as _spmd_wrap, use_interpret as _use_interpret
+from mirror_tpu.ops._common import (
+    VMEM_LIMIT_WIDE,
+    spmd_wrap as _spmd_wrap,
+    use_interpret as _use_interpret,
+)
 
 
 def _dot(a, b):
@@ -175,6 +179,10 @@ def _bwd_call(x, s, g, iters):
         out_specs=(xs, gs_spec),
         scratch_shapes=[pltpu.VMEM((4 * iters, m, m), x.dtype)],
         interpret=_use_interpret(),
+        # the (4*iters, m, m) replay scratch alone is 12.6 MB at m=512
+        # (--embed_dim 1024); without the raised limit the backward is the
+        # one kernel that fails Mosaic's 16 MB default at non-default dims
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * (11 * iters) * m**3,
             bytes_accessed=4 * x.size * x.dtype.itemsize,

@@ -161,13 +161,16 @@ def _ppeg_fused(img, kern, bias):
 
 
 def _vjp_fwd(img, kern, bias):
-    return _fwd_call(img, kern, bias), (img, kern)
+    # bias rides the residuals ([C], negligible) so db can match ITS dtype:
+    # tying db to kern.dtype breaks the custom_vjp aval contract whenever
+    # the two primals differ (e.g. bf16 taps with an fp32 bias)
+    return _fwd_call(img, kern, bias), (img, kern, bias)
 
 
 def _vjp_bwd(res, g):
-    img, kern = res
+    img, kern, bias = res
     dimg, dk, db = _bwd_call(img, kern, g.astype(img.dtype))
-    return dimg, dk, db
+    return dimg, dk, db.astype(bias.dtype)
 
 
 _ppeg_fused.defvjp(_vjp_fwd, _vjp_bwd)

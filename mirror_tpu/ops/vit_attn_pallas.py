@@ -244,6 +244,11 @@ def mha_natural(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Arr
     multi-device mesh it runs shard_mapped over the batch
     (ops/_common.spmd_wrap — Mosaic custom calls cannot be
     GSPMD-partitioned). See _mha_natural for the kernel contract."""
+    if q.shape[-1] % heads:
+        raise ValueError(  # see attn_block: unwritten-lane hazard
+            f"mha_natural: feature dim {q.shape[-1]} not divisible by "
+            f"heads={heads}"
+        )
     return _spmd_wrap(lambda q, k, v: _mha_natural(q, k, v, heads), q, k, v)
 
 
@@ -252,6 +257,15 @@ def attn_block(x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo, heads: int,
     """Public entry for the attention half-block kernel; weights replicated,
     batch shard_mapped over a multi-device mesh (ops/_common.spmd_wrap).
     See _attn_block for the kernel contract."""
+    if x.shape[-1] % heads:
+        # the per-head kernel loop writes exactly heads*(d//heads) output
+        # lanes; a non-divisible width would leave the remaining lanes as
+        # uninitialized VMEM on the compiled path (interpret mode differs,
+        # so the CPU suite could never catch it) — refuse loudly instead
+        raise ValueError(
+            f"attn_block: feature dim {x.shape[-1]} not divisible by "
+            f"heads={heads}"
+        )
     return _spmd_wrap(
         lambda x, *w: _attn_block(x, *w, heads, eps),
         x, ln_s, ln_b, wq, wk, wv, bqkv, wo, bo,

@@ -90,3 +90,22 @@ def test_ppeg_module_pallas_matches_xla():
     out_p = m_pal.apply(params, x, h, w)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ppeg_grads_with_mixed_primal_dtypes():
+    """db/dk must match their PRIMALS' dtypes (custom_vjp aval contract):
+    bf16 taps with an fp32 bias used to crash at gradient time."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(1, 8, 8, 256)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(7, 7, 256)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    bias = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))  # fp32
+
+    def loss(img, kern, bias):
+        return jnp.sum(ppeg_fused(img, kern, bias) ** 2)
+
+    dimg, dk, db = jax.grad(loss, argnums=(0, 1, 2))(img, kern, bias)
+    assert dk.dtype == kern.dtype
+    assert db.dtype == bias.dtype
+    assert np.isfinite(np.asarray(db, np.float32)).all()

@@ -96,3 +96,24 @@ def test_mlp_block_matches_reference():
     # <= 1.5e-7 pre-GEMM; the fc2 contraction (m=128 terms, |w| ~ 0.2)
     # amplifies to ~1e-5
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_attn_block_rejects_nondivisible_heads():
+    """d % heads != 0 would leave output lanes as uninitialized VMEM on the
+    compiled path (interpret mode differs, so only a loud refusal is safe)."""
+    import numpy as np
+    import pytest
+
+    from mirror_tpu.ops.vit_attn_pallas import attn_block, mha_natural
+
+    d, n, b = 48, 8, 2
+    x = jnp.zeros((b, n, d), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        attn_block(
+            x, jnp.ones(d), jnp.zeros(d),
+            *(jnp.zeros((d, d)),) * 3, jnp.zeros(3 * d),
+            jnp.zeros((d, d)), jnp.zeros(d), heads=5,
+        )
+    q = np.zeros((b, n, d), np.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        mha_natural(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), heads=7)
