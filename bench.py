@@ -17,8 +17,10 @@ Ratios > 1.0 are improvements over that initial implementation.
 
 Timing note: on the axon tunnel, block_until_ready over a chain of async
 dispatches can return early — each timed repetition synchronizes by pulling
-the loss to the host. The ~30ms tunnel round-trip is amortized to <0.3% by
-chaining 30 steps inside one jit (no magic subtractions).
+the loss to the host. The ~30ms tunnel round-trip is amortized by chaining
+30 steps inside one jit (no magic subtractions): ~0.5% of a timed rep at
+the current ~310 samples/s (30ms / ~6.2s), i.e. the published number
+slightly UNDERSTATES the chip.
 
 The line also reports measured TFLOP/s and MFU (vs the chip's bf16 peak,
 override with MIRROR_PEAK_TFLOPS; v5e ~197) from XLA's compiled cost

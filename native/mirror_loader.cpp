@@ -53,6 +53,14 @@ NpyInfo parse_npy_header(const unsigned char* buf, size_t size) {
     header_len = buf[8] | (buf[9] << 8);
     header_start = 10;
   } else {
+    // v2.0 length field is 4 bytes: require them before reading (a 10-11
+    // byte buffer would read past the end — masked today only because
+    // mmap zero-fills to the page boundary, but the parser takes a plain
+    // (buf, size) pair and must not rely on that)
+    if (size < 12) {
+      info.error = "truncated header";
+      return info;
+    }
     header_len = buf[8] | (buf[9] << 8) | (static_cast<size_t>(buf[10]) << 16) |
                  (static_cast<size_t>(buf[11]) << 24);
     header_start = 12;

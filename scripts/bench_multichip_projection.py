@@ -37,9 +37,14 @@ import os
 import re
 import sys
 
+# peek --devices BEFORE the env line (it must precede jax import/backend
+# init): hardcoding 8 made any --devices N > 8 reshape-crash later
+_n_dev = 8
+if "--devices" in sys.argv:
+    _n_dev = max(8, int(sys.argv[sys.argv.index("--devices") + 1]))
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
+    + f" --xla_force_host_platform_device_count={_n_dev}"
 )
 
 import jax
@@ -257,6 +262,11 @@ def main():
     t_comm = 2.0 * total_comm * (n - 1) / n / bw
     t_compute = B_PER_CHIP / MEASURED_SAMPLES_PER_S
     eff = t_compute / (t_compute + t_comm)
+    if args.tiny:
+        # tiny collective bytes against the FLAGSHIP measured compute time
+        # is a physically meaningless ratio — don't print an authoritative-
+        # looking ~1.0 efficiency for a model that isn't the flagship
+        eff = t_compute = t_comm = None
 
     result = {
         "dims": "tiny" if args.tiny else "flagship",
@@ -280,7 +290,9 @@ def main():
         "t_compute_s": t_compute,
         "t_comm_worst_case_s": t_comm,
         "projected_dp_scaling_efficiency_worst_case": eff,
-        "projected_v5e8_samples_per_s": MEASURED_SAMPLES_PER_S * n * eff,
+        "projected_v5e8_samples_per_s": (
+            MEASURED_SAMPLES_PER_S * n * eff if eff is not None else None
+        ),
     }
     out = os.path.join(os.path.dirname(__file__), "..",
                        "multichip_projection_r5.json")

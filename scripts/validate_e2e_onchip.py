@@ -51,10 +51,15 @@ def cfg(root, name, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the temp cohort/run dirs for inspection")
     args = ap.parse_args()
 
     from mirror_tpu.data import make_synthetic_cohort
 
+    # cleaned up on success unless --keep: the flagship cohort + run
+    # checkpoints are hundreds of MB and this is the per-round closing
+    # gate — repeated runs would fill /tmp
     root = tempfile.mkdtemp(prefix="e2e_onchip_")
     mk = TINY if args.small else FLAGSHIP
     tokens = mk["wsi_num_tokens"]
@@ -114,8 +119,10 @@ def main():
     # 3. subtyping fine-tune from the pretrain checkpoint
     import train_subtyping
 
-    sub_kw = {k: v for k, v in mk.items() if not k.startswith("style")
-              and k not in ("num_prototypes",)}
+    # create_model's registry already drops kwargs a model doesn't accept
+    # (with a logged warning, mirror_tpu/registry.py::_filter) — pass the
+    # pretrain kwargs straight through
+    sub_kw = dict(mk)
     sub_cfg = cfg(
         root, "sub", wsi_feature_dir=c["subtype_feature_dir"],
         rna_feature_csv=c["rna_csv"], split_dir=c["splits_dir"], k=2,
@@ -180,6 +187,10 @@ def main():
     summary["backend"] = jax.default_backend()
     summary["dims"] = "tiny" if args.small else "flagship"
     print("E2E_VALIDATION " + json.dumps(summary))
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
